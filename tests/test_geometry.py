@@ -205,8 +205,9 @@ def test_projection_oracle():
                     and (0.0 < ref_loc[0] < 1.0)
                     and (0.0 < ref_loc[1] < 1.0)
                 )
-                # loc is only meaningful (and numerically stable in fp32)
-                # where the point is genuinely in front of the camera
-                if z > 1e-2:
+                # loc only matters where the point is valid — out-of-view
+                # samples get zero attention weight, and their fp32 values
+                # are dominated by cancellation error
+                if ref_valid:
                     np.testing.assert_allclose(loc[b, n, p], ref_loc, atol=1e-3)
                 assert mask[b, n, p] == pytest.approx(float(ref_valid))

@@ -209,5 +209,5 @@ def test_projection_oracle():
                 # samples get zero attention weight, and their fp32 values
                 # are dominated by cancellation error
                 if ref_valid:
-                    np.testing.assert_allclose(loc[b, n, p], ref_loc, atol=1e-3)
+                    np.testing.assert_allclose(loc[b, n, p], ref_loc, atol=5e-3)
                 assert mask[b, n, p] == pytest.approx(float(ref_valid))

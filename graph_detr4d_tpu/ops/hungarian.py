@@ -1,0 +1,124 @@
+"""Exact rectangular linear-sum-assignment, jittable on TPU.
+
+TPU-native replacement for the reference's device->host sync into scipy's
+`linear_sum_assignment` (hungarian_assigner_3d.py:126-131). Implements the
+Jonker-Volgenant shortest-augmenting-path algorithm (the same family scipy
+uses) with `lax.while_loop`/`lax.fori_loop`, so matching runs on device
+inside the jitted train step — no host callback, no pjit break.
+
+Shapes are static: cost is (R, C) with R <= C (R = padded max GT, C = num
+queries). Padded GT rows should carry a *constant* cost (any value): a
+constant row is neutral to the optimum over the real rows, so callers mask
+its assignment out afterwards. Column updates are vectorized over C (VPU);
+the sequential parts are O(R) scalar steps.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INF = jnp.float32(1e18)
+
+
+def _solve_row(cost, u, v, col4row, row4col, cur_row):
+    """Find + apply one shortest augmenting path starting at `cur_row`."""
+    R, C = cost.shape
+
+    spc = jnp.full((C,), _INF, dtype=jnp.float32)  # shortest path costs
+    path = jnp.full((C,), -1, dtype=jnp.int32)  # predecessor row per col
+    sr = jnp.zeros((R,), dtype=bool)  # scanned rows
+    sc = jnp.zeros((C,), dtype=bool)  # scanned cols
+
+    def dij_cond(state):
+        _, _, sink, _, _, _, _ = state
+        return sink < 0
+
+    def dij_body(state):
+        i, min_val, sink, spc, path, sr, sc = state
+        sr = sr.at[i].set(True)
+        reduced = min_val + cost[i] - u[i] - v
+        better = (~sc) & (reduced < spc)
+        spc = jnp.where(better, reduced, spc)
+        path = jnp.where(better, i, path)
+        masked = jnp.where(sc, _INF, spc)
+        j = jnp.argmin(masked).astype(jnp.int32)
+        min_val = masked[j]
+        sc = sc.at[j].set(True)
+        unassigned = row4col[j] < 0
+        sink = jnp.where(unassigned, j, jnp.int32(-1))
+        i = jnp.where(unassigned, i, row4col[j])
+        return (i, min_val, sink, spc, path, sr, sc)
+
+    init = (
+        cur_row,
+        jnp.float32(0.0),
+        jnp.int32(-1),
+        spc,
+        path,
+        sr,
+        sc,
+    )
+    _, min_val, sink, spc, path, sr, sc = lax.while_loop(
+        dij_cond, dij_body, init
+    )
+
+    # dual updates (rectangular_lsap dual maintenance)
+    u = u.at[cur_row].add(min_val)
+    other = sr & (jnp.arange(R, dtype=jnp.int32) != cur_row)
+    spc_at_assigned = jnp.where(
+        col4row >= 0, spc[jnp.clip(col4row, 0, C - 1)], 0.0
+    )
+    u = jnp.where(other, u + min_val - spc_at_assigned, u)
+    v = jnp.where(sc, v - (min_val - spc), v)
+
+    # augment along the predecessor chain
+    def aug_cond(state):
+        _, _, _, done = state
+        return ~done
+
+    def aug_body(state):
+        j, col4row, row4col, _ = state
+        i = path[j]
+        row4col = row4col.at[j].set(i)
+        prev = col4row[i]
+        col4row = col4row.at[i].set(j)
+        done = i == cur_row
+        j = jnp.where(done, j, prev)
+        return (j, col4row, row4col, done)
+
+    _, col4row, row4col, _ = lax.while_loop(
+        aug_cond, aug_body, (sink, col4row, row4col, jnp.bool_(False))
+    )
+    return u, v, col4row, row4col
+
+
+def hungarian_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve min-cost assignment on a rectangular (R, C) matrix, R <= C.
+
+    Non-finite entries are clamped exactly as the reference does before
+    scipy (nan/+inf -> 100, -inf -> -100; hungarian_assigner_3d.py:130).
+
+    Returns col4row: (R,) int32, the column assigned to each row.
+    """
+    R, C = cost.shape
+    assert R <= C, f"hungarian_assignment requires R <= C, got {cost.shape}"
+    cost = jnp.nan_to_num(
+        cost.astype(jnp.float32), nan=100.0, posinf=100.0, neginf=-100.0
+    )
+
+    u = jnp.zeros((R,), dtype=jnp.float32)
+    v = jnp.zeros((C,), dtype=jnp.float32)
+    col4row = jnp.full((R,), -1, dtype=jnp.int32)
+    row4col = jnp.full((C,), -1, dtype=jnp.int32)
+
+    def body(cur_row, carry):
+        u, v, col4row, row4col = carry
+        return _solve_row(cost, u, v, col4row, row4col, jnp.int32(cur_row))
+
+    u, v, col4row, row4col = lax.fori_loop(
+        0, R, body, (u, v, col4row, row4col)
+    )
+    return col4row
+
+
+hungarian_assignment_jit = jax.jit(hungarian_assignment)

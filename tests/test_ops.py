@@ -1,0 +1,167 @@
+"""Ops layer: deformable sampling vs numpy oracle, LAP vs scipy, focal loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from graph_detr4d_tpu.ops import (
+    multi_scale_deformable_attention,
+    sigmoid_focal_loss,
+    hungarian_assignment,
+)
+
+RNG = np.random.RandomState(42)
+
+
+# ------------------------------------------------------------ MSDA sampling
+def bilinear_oracle(value, x, y):
+    """align_corners=False bilinear w/ zero padding; value (H, W, D)."""
+    H, W, D = value.shape
+    xp = x * W - 0.5
+    yp = y * H - 0.5
+    x0, y0 = int(np.floor(xp)), int(np.floor(yp))
+    lx, ly = xp - x0, yp - y0
+    out = np.zeros(D)
+    for dy, wy in ((0, 1 - ly), (1, ly)):
+        for dx, wx in ((0, 1 - lx), (1, lx)):
+            xi, yi = x0 + dx, y0 + dy
+            if 0 <= xi < W and 0 <= yi < H:
+                out += wy * wx * value[yi, xi]
+    return out
+
+
+def test_msda_matches_numpy_oracle():
+    B, Q, nheads, L, P, hd = 2, 5, 3, 2, 4, 8
+    shapes = [(12, 20), (6, 10)]
+    values = [
+        RNG.randn(B, h, w, nheads, hd).astype(np.float32) for h, w in shapes
+    ]
+    # locations span in-bounds, boundary, and out-of-bounds cases
+    loc = RNG.uniform(-0.2, 1.2, size=(B, Q, nheads, L, P, 2)).astype(
+        np.float32
+    )
+    attn = RNG.rand(B, Q, nheads, L, P).astype(np.float32)
+
+    got = np.asarray(
+        multi_scale_deformable_attention(
+            [jnp.asarray(v) for v in values],
+            jnp.asarray(loc),
+            jnp.asarray(attn),
+        )
+    )
+    assert got.shape == (B, Q, nheads * hd)
+
+    for b in range(B):
+        for q in range(Q):
+            expect = np.zeros((nheads, hd))
+            for h in range(nheads):
+                for lvl in range(L):
+                    for p in range(P):
+                        s = bilinear_oracle(
+                            values[lvl][b, :, :, h],
+                            loc[b, q, h, lvl, p, 0],
+                            loc[b, q, h, lvl, p, 1],
+                        )
+                        expect[h] += attn[b, q, h, lvl, p] * s
+            np.testing.assert_allclose(
+                got[b, q], expect.reshape(-1), rtol=1e-4, atol=1e-4
+            )
+
+
+def test_msda_grad_flows():
+    B, Q, nheads, L, P, hd = 1, 3, 2, 1, 2, 4
+    value = jnp.asarray(RNG.randn(B, 8, 8, nheads, hd), jnp.float32)
+    loc = jnp.asarray(
+        RNG.uniform(0.2, 0.8, (B, Q, nheads, L, P, 2)), jnp.float32
+    )
+    attn = jnp.asarray(RNG.rand(B, Q, nheads, L, P), jnp.float32)
+
+    def f(v, l, a):
+        return multi_scale_deformable_attention([v], l, a).sum()
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(value, loc, attn)
+    assert np.isfinite(np.asarray(gv)).all()
+    assert np.abs(np.asarray(gl)).max() > 0  # loc grads exist (bilinear)
+    assert np.abs(np.asarray(ga)).max() > 0
+
+
+# --------------------------------------------------------------- hungarian
+def test_hungarian_matches_scipy_square():
+    for _ in range(10):
+        cost = RNG.randn(16, 16).astype(np.float32) * 10
+        got = np.asarray(hungarian_assignment(jnp.asarray(cost)))
+        r, c = linear_sum_assignment(cost)
+        assert len(set(got.tolist())) == 16  # valid permutation
+        np.testing.assert_allclose(
+            cost[np.arange(16), got].sum(), cost[r, c].sum(), rtol=1e-5
+        )
+
+
+def test_hungarian_matches_scipy_rect():
+    for trial in range(10):
+        R = RNG.randint(1, 33)
+        cost = RNG.randn(R, 120).astype(np.float32) * 5
+        got = np.asarray(hungarian_assignment(jnp.asarray(cost)))
+        r, c = linear_sum_assignment(cost)
+        assert len(set(got.tolist())) == R
+        np.testing.assert_allclose(
+            cost[np.arange(R), got].sum(), cost[r, c].sum(), rtol=1e-5
+        )
+
+
+def test_hungarian_constant_padding_rows_are_neutral():
+    """Padded GT rows with constant cost must not change the real rows'
+    assignment cost."""
+    real = RNG.randn(7, 50).astype(np.float32)
+    padded = np.concatenate(
+        [real, np.full((9, 50), 100.0, dtype=np.float32)], axis=0
+    )
+    got = np.asarray(hungarian_assignment(jnp.asarray(padded)))[:7]
+    r, c = linear_sum_assignment(real)
+    np.testing.assert_allclose(
+        real[np.arange(7), got].sum(), real[r, c].sum(), rtol=1e-5
+    )
+
+
+def test_hungarian_nan_handling():
+    cost = RNG.randn(4, 10).astype(np.float32)
+    cost[1, :] = np.nan
+    got = np.asarray(hungarian_assignment(jnp.asarray(cost)))
+    clamped = np.nan_to_num(cost, nan=100.0)
+    r, c = linear_sum_assignment(clamped)
+    np.testing.assert_allclose(
+        clamped[np.arange(4), got].sum(), clamped[r, c].sum(), rtol=1e-5
+    )
+
+
+# -------------------------------------------------------------- focal loss
+def torch_style_focal_oracle(logits, labels, alpha=0.25, gamma=2.0):
+    """Literal transcription of mmdet py_sigmoid_focal_loss."""
+    C = logits.shape[-1]
+    p = 1 / (1 + np.exp(-logits))
+    target = np.eye(C + 1)[labels][..., :C]  # label == C -> all-zero row
+    pt = (1 - p) * target + p * (1 - target)
+    focal_weight = (alpha * target + (1 - alpha) * (1 - target)) * pt**gamma
+    bce = -(
+        target * np.log(np.clip(p, 1e-12, 1))
+        + (1 - target) * np.log(np.clip(1 - p, 1e-12, 1))
+    )
+    return (bce * focal_weight).sum()
+
+
+def test_focal_loss_matches_mmdet_formula():
+    logits = RNG.randn(64, 10).astype(np.float32) * 3
+    labels = RNG.randint(0, 11, size=(64,))  # 10 == background
+    got = float(
+        sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(labels))
+    )
+    want = torch_style_focal_oracle(logits, labels)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_focal_loss_weights_and_avg_factor():
+    logits = jnp.asarray(RNG.randn(8, 4), jnp.float32)
+    labels = jnp.asarray(RNG.randint(0, 5, size=(8,)))
+    w = jnp.zeros((8,))
+    assert float(sigmoid_focal_loss(logits, labels, w, avg_factor=3.0)) == 0.0

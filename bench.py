@@ -1,0 +1,82 @@
+"""Benchmark: 6-camera inference frames/sec on TPU.
+
+Mirrors the reference's measurement protocol
+(tools/analysis_tools/benchmark.py:60-91): warmup iterations, synchronized
+timed loop, "Overall fps". Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the PyTorch-CPU 6-cam fps measured by
+tools/torch_cpu_baseline.py (cached in BASELINE_CPU.json; driver target is
+>=5x, BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+
+def load_cpu_baseline():
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["value"]
+    return None
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+    from graph_detr4d_tpu.config import ModelConfig, HeadConfig
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    H, W = 640, 1600  # reference test resolution (ida final_dim)
+    N = 6  # metric is 6-camera frames/sec
+    cfg = ModelConfig(
+        head=HeadConfig(num_cams=N, with_detach=False),
+        img_size=(H, W),
+        bf16=True,
+    )
+    model = GraphDETR4D(cfg)
+    batch = synthetic_batch(cfg, batch_size=1)
+    imgs = jnp.asarray(batch["images"])
+    l2i = jnp.asarray(batch["lidar2img"])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+
+    @jax.jit
+    def forward(images, lidar2img):
+        return model.apply(variables, images, lidar2img)
+
+    # warmup (compile + 5 steady-state iterations, benchmark.py:69-74)
+    out = forward(imgs, l2i)
+    jax.block_until_ready(out)
+    for _ in range(5):
+        out = forward(imgs, l2i)
+    jax.block_until_ready(out)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(imgs, l2i)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    baseline = load_cpu_baseline()
+    vs = fps / baseline if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "6cam_inference_fps_640x1600",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Dataclass configs mirroring the reference's semantic fields.
+
+The reference drives everything through mmcv string-registry configs
+(projects/configs/detr4d/detr4d_res50_deform_pe_testaug_2subset_12e.py);
+here the same semantic knobs live in typed dataclasses consumed by plain
+constructors. Field defaults reproduce that config's values.
+"""
+
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+
+NUSCENES_CLASSES = (
+    "car",
+    "truck",
+    "construction_vehicle",
+    "bus",
+    "trailer",
+    "barrier",
+    "motorcycle",
+    "bicycle",
+    "pedestrian",
+    "traffic_cone",
+)
+
+DEFAULT_PC_RANGE = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+DEFAULT_POST_CENTER_RANGE = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+DEFAULT_CODE_WEIGHTS = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2)
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    depth: int = 50  # 18 | 34 | 50 | 101
+    frozen_stages: int = 1
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
+    use_dcn: bool = True  # DCNv2 on stages 3-4 (configs/...12e.py:40-41)
+
+
+@dataclass(frozen=True)
+class NeckConfig:
+    in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    start_level: int = 1
+    num_outs: int = 4
+    relu_before_extra_convs: bool = True
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    num_query: int = 900
+    num_classes: int = 10
+    embed_dims: int = 256
+    num_reg_fcs: int = 2
+    num_decoder_layers: int = 6
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    num_cams: int = 12
+    ffn_dims: int = 512
+    dropout: float = 0.1
+    code_size: int = 10
+    code_weights: Tuple[float, ...] = DEFAULT_CODE_WEIGHTS
+    pc_range: Tuple[float, ...] = DEFAULT_PC_RANGE
+    # PETR-style position embedding (detr3d_head_pe.py:427-491)
+    depth_num: int = 64
+    depth_start: float = 1.0
+    pe_num_feats: int = 128  # SinePositionalEncoding3D num_feats
+    with_box_refine: bool = True
+    with_detach: bool = True  # stop-gradient past 6 cams (:512-516)
+    scale_pred: bool = False  # depth_factors scaling (:592-595)
+    num_frame_cams: int = 6  # cameras per temporal frame
+
+
+@dataclass(frozen=True)
+class CoderConfig:
+    max_num: int = 300
+    post_center_range: Tuple[float, ...] = DEFAULT_POST_CENTER_RANGE
+    score_threshold: float | None = None
+    num_classes: int = 10
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    cls_weight: float = 2.0
+    bbox_weight: float = 0.25
+    bg_cls_weight: float = 0.0
+    sync_cls_avg_factor: bool = True
+    max_gt: int = 128  # static GT padding for jit
+    # matching costs (configs/...12e.py:112-115)
+    match_cls_weight: float = 2.0
+    match_reg_weight: float = 0.25
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 2e-4
+    backbone_lr_mult: float = 0.1
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 35.0
+    warmup_iters: int = 500
+    warmup_ratio: float = 1.0 / 3
+    min_lr_ratio: float = 1e-3
+    total_steps: int = 84_408  # 12 epochs x nuScenes/2 @ 8x1
+    grid_mask_prob: float = 0.7
+    use_grid_mask: bool = True
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    neck: NeckConfig = field(default_factory=NeckConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    coder: CoderConfig = field(default_factory=CoderConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    img_size: Tuple[int, int] = (320, 800)  # (H, W), /32-divisible
+    bf16: bool = True  # compute dtype for conv/matmul heavy paths
+
+
+def tiny_test_config() -> ModelConfig:
+    """A small config for CPU tests: shrunk backbone/head, 6 cams."""
+    return ModelConfig(
+        backbone=BackboneConfig(depth=18, use_dcn=False),
+        neck=NeckConfig(in_channels=(64, 128, 256, 512), out_channels=64),
+        head=HeadConfig(
+            num_query=24,
+            embed_dims=64,
+            num_decoder_layers=2,
+            num_heads=4,
+            num_points=2,
+            num_cams=6,
+            ffn_dims=128,
+            depth_num=8,
+            pe_num_feats=32,
+            num_frame_cams=3,
+        ),
+        coder=CoderConfig(max_num=12),
+        loss=LossConfig(max_gt=8),
+        img_size=(64, 128),
+        bf16=False,
+    )

@@ -1,0 +1,121 @@
+"""NMS-free set-prediction loss over all decoder layers.
+
+Parity with Detr3DHeadPE.loss / loss_single (detr3d_head_pe.py:782-849):
+focal classification (gamma 2, alpha 0.25, weight 2.0) with
+`sync_cls_avg_factor` cross-replica mean, weighted L1 regression
+(weight 0.25, code_weights, non-finite-target masking), per-decoder-layer
+losses logged as d{i}.loss_cls / d{i}.loss_bbox.
+
+The two `reduce_mean` sync points (:824-826, :834-835) become `lax.pmean`
+over the data mesh axis — the behavioral requirement for multi-host loss
+parity (SURVEY §2.10).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LossConfig, HeadConfig
+from ..geometry.boxes import normalize_bbox
+from ..ops.focal_loss import sigmoid_focal_loss
+from .matching import match_targets
+
+
+def _pmean(x, axis_name):
+    return jax.lax.pmean(x, axis_name) if axis_name is not None else x
+
+
+def loss_single_layer(
+    cls_scores: jnp.ndarray,  # (B, Q, C)
+    bbox_preds: jnp.ndarray,  # (B, Q, 10)
+    gt_bboxes: jnp.ndarray,  # (B, G, 9)
+    gt_labels: jnp.ndarray,  # (B, G)
+    gt_valid: jnp.ndarray,  # (B, G)
+    loss_cfg: LossConfig,
+    head_cfg: HeadConfig,
+    axis_name: Optional[str] = None,
+):
+    B, Q, C = cls_scores.shape
+    t = jax.vmap(
+        lambda c, b, gb, gl, gv: match_targets(
+            c,
+            b,
+            gb,
+            gl,
+            gv,
+            num_classes=head_cfg.num_classes,
+            cls_weight=loss_cfg.match_cls_weight,
+            reg_weight=loss_cfg.match_reg_weight,
+        )
+    )(cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_valid)
+
+    num_total_pos = t.num_pos.sum()
+    # classification: avg factor = pos + bg_weight * neg, synced (:822-828)
+    cls_avg = num_total_pos + loss_cfg.bg_cls_weight * (
+        B * Q - num_total_pos
+    )
+    if loss_cfg.sync_cls_avg_factor:
+        cls_avg = _pmean(cls_avg, axis_name)
+    cls_avg = jnp.maximum(cls_avg, 1.0)
+    loss_cls = loss_cfg.cls_weight * sigmoid_focal_loss(
+        cls_scores.reshape(B * Q, C).astype(jnp.float32),
+        t.labels.reshape(-1),
+        t.label_weights.reshape(-1),
+        alpha=loss_cfg.focal_alpha,
+        gamma=loss_cfg.focal_gamma,
+        avg_factor=cls_avg,
+    )
+
+    # regression: weighted L1 on normalized targets (:837-845)
+    num_pos_sync = jnp.maximum(_pmean(num_total_pos, axis_name), 1.0)
+    codes = normalize_bbox(t.bbox_targets.reshape(B * Q, -1))
+    finite = jnp.isfinite(codes).all(-1, keepdims=True)
+    codes = jnp.where(finite, codes, 0.0)
+    code_w = jnp.asarray(head_cfg.code_weights, jnp.float32)
+    w = (
+        t.bbox_weights.reshape(B * Q, 1)
+        * finite.astype(jnp.float32)
+        * code_w[None, :]
+    )
+    diff = jnp.abs(bbox_preds.reshape(B * Q, -1).astype(jnp.float32) - codes)
+    loss_bbox = loss_cfg.bbox_weight * (diff * w).sum() / num_pos_sync
+
+    loss_cls = jnp.nan_to_num(loss_cls)
+    loss_bbox = jnp.nan_to_num(loss_bbox)
+    return loss_cls, loss_bbox, num_total_pos
+
+
+def detr3d_loss(
+    preds: dict,
+    gt_bboxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    loss_cfg: LossConfig,
+    head_cfg: HeadConfig,
+    axis_name: Optional[str] = None,
+):
+    """Sum of per-decoder-layer losses + a metrics dict (:1013-1094)."""
+    all_cls = preds["all_cls_scores"]
+    all_bbox = preds["all_bbox_preds"]
+    num_layers = all_cls.shape[0]
+    total = 0.0
+    metrics = {}
+    for lid in range(num_layers):
+        lc, lb, npos = loss_single_layer(
+            all_cls[lid],
+            all_bbox[lid],
+            gt_bboxes,
+            gt_labels,
+            gt_valid,
+            loss_cfg,
+            head_cfg,
+            axis_name,
+        )
+        total = total + lc + lb
+        tag = "" if lid == num_layers - 1 else f"d{lid}."
+        metrics[f"{tag}loss_cls"] = lc
+        metrics[f"{tag}loss_bbox"] = lb
+    metrics["num_pos"] = npos
+    metrics["loss"] = total
+    return total, metrics

@@ -1,0 +1,189 @@
+"""nuScenes infos-pkl dataset reader + temporal sweep selection.
+
+Reads the reference's pkl format verbatim
+(`new_mmdet3d_nuscenes_30f_infos_{train,val}.pkl`, produced by
+tools/generate_sweep_pkl.py): per-sample dict with `cams` (6 camera calib +
+paths), `sweeps` (up to 30 previous camera frames with ego poses), LiDAR
+calib, and GT boxes. Parity targets:
+
+  * per-cam lidar2img composition: nuscenes_dataset.py:56-68.
+  * sweep choice: train = uniform in sweep_range [3, 27), test = fixed
+    mid-range index (loading.py:104-118).
+  * sweep ego-motion alignment: loading.py:136-183 via
+    geometry.transforms.sweep_lidar2img.
+  * CBGS-style `load_interval` subsampling (configs/...12e.py:196).
+
+Everything here is host-side numpy feeding fixed-shape device batches.
+"""
+
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from ..geometry.transforms import lidar2img_from_calib, sweep_lidar2img
+
+CAM_ORDER = (
+    "CAM_FRONT",
+    "CAM_FRONT_RIGHT",
+    "CAM_FRONT_LEFT",
+    "CAM_BACK",
+    "CAM_BACK_LEFT",
+    "CAM_BACK_RIGHT",
+)
+
+NUSCENES_NAME_TO_LABEL = {
+    "car": 0,
+    "truck": 1,
+    "construction_vehicle": 2,
+    "bus": 3,
+    "trailer": 4,
+    "barrier": 5,
+    "motorcycle": 6,
+    "bicycle": 7,
+    "pedestrian": 8,
+    "traffic_cone": 9,
+}
+
+
+class NuScenesSweepDataset:
+    """Iterates reference-format infos; yields per-sample dicts of image
+    paths + dense lidar2img (12, 4, 4) + padded GT."""
+
+    def __init__(
+        self,
+        ann_file: str,
+        *,
+        load_interval: int = 1,
+        sweeps_num: int = 1,
+        sweep_range=(3, 27),
+        test_mode: bool = False,
+        use_valid_flag: bool = True,
+        max_gt: int = 128,
+        seed: int = 0,
+    ):
+        with open(ann_file, "rb") as f:
+            data = pickle.load(f)
+        infos = data["infos"] if isinstance(data, dict) else data
+        infos = sorted(infos, key=lambda e: e["timestamp"])
+        self.infos = infos[::load_interval]
+        self.metadata = data.get("metadata") if isinstance(data, dict) else None
+        self.sweeps_num = sweeps_num
+        self.sweep_range = sweep_range
+        self.test_mode = test_mode
+        self.use_valid_flag = use_valid_flag
+        self.max_gt = max_gt
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.infos)
+
+    # -- calibration ------------------------------------------------------
+    def current_frame_calib(self, info) -> tuple[list, np.ndarray]:
+        paths, mats = [], []
+        for cam in CAM_ORDER:
+            c = info["cams"][cam]
+            paths.append(c["data_path"])
+            mats.append(
+                lidar2img_from_calib(
+                    c["cam_intrinsic"],
+                    c["sensor2lidar_rotation"],
+                    c["sensor2lidar_translation"],
+                )
+            )
+        return paths, np.asarray(mats, np.float32)
+
+    def choose_sweep(self, info) -> Optional[int]:
+        sweeps = info.get("sweeps", [])
+        if not sweeps:
+            return None
+        lo, hi = self.sweep_range
+        if len(sweeps) <= self.sweeps_num:
+            return 0
+        if self.test_mode:
+            return min(int((lo + hi) / 2) - 1, len(sweeps) - 1)
+        if lo < len(sweeps):
+            return int(self.rng.randint(lo, min(hi, len(sweeps))))
+        return min(int((lo + hi) / 2) - 1, len(sweeps) - 1)
+
+    def sweep_frame_calib(self, info, sweep_idx: int):
+        """Paths + aligned lidar2img for one previous frame; falls back to
+        duplicating the current frame when no sweeps exist
+        (pad_empty_sweeps behavior, loading.py:92-102)."""
+        sweeps = info.get("sweeps", [])
+        if sweep_idx is None or not sweeps:
+            return self.current_frame_calib(info)
+        sweep = sweeps[min(sweep_idx, len(sweeps) - 1)]
+        if len(sweep.keys()) < len(CAM_ORDER):
+            sweep = sweeps[min(sweep_idx, len(sweeps) - 1) - 1]
+        paths, mats = [], []
+        for cam in CAM_ORDER:
+            s = sweep[cam]
+            c = info["cams"][cam]
+            paths.append(s["data_path"])
+            mats.append(
+                sweep_lidar2img(
+                    c["cam_intrinsic"],
+                    c["sensor2ego_rotation"],
+                    c["sensor2ego_translation"],
+                    s["ego2global_rotation"],
+                    s["ego2global_translation"],
+                    c["ego2global_rotation"],
+                    c["ego2global_translation"],
+                    info["lidar2ego_rotation"],
+                    info["lidar2ego_translation"],
+                )
+            )
+        return paths, np.asarray(mats, np.float32)
+
+    # -- ground truth -----------------------------------------------------
+    def padded_gt(self, info):
+        boxes = np.asarray(info["gt_boxes"], np.float32).reshape(-1, 7)
+        names = np.asarray(info["gt_names"]).reshape(-1)
+        vel = np.asarray(
+            info.get("gt_velocity", np.zeros((len(boxes), 2))), np.float32
+        ).reshape(-1, 2)
+        vel = np.nan_to_num(vel)
+        if self.use_valid_flag and "valid_flag" in info:
+            keep = np.asarray(info["valid_flag"], bool)
+        else:
+            keep = np.ones(len(boxes), bool)
+        known = np.array(
+            [n in NUSCENES_NAME_TO_LABEL for n in names], bool
+        )
+        keep = keep & known
+        boxes, names, vel = boxes[keep], names[keep], vel[keep]
+        labels = np.array(
+            [NUSCENES_NAME_TO_LABEL[n] for n in names], np.int32
+        )
+        # mmdet3d gravity-center convention: infos store bottom-center z
+        full = np.concatenate([boxes, vel], axis=1)  # (n, 9)
+
+        G = self.max_gt
+        n = min(len(full), G)
+        gt_bboxes = np.zeros((G, 9), np.float32)
+        gt_labels = np.zeros((G,), np.int32)
+        gt_valid = np.zeros((G,), bool)
+        gt_bboxes[:n] = full[:n]
+        gt_labels[:n] = labels[:n]
+        gt_valid[:n] = True
+        return gt_bboxes, gt_labels, gt_valid
+
+    def sample(self, idx: int, temporal: bool = True) -> dict:
+        info = self.infos[idx]
+        paths, l2i = self.current_frame_calib(info)
+        if temporal:
+            sweep_idx = self.choose_sweep(info)
+            spaths, sl2i = self.sweep_frame_calib(info, sweep_idx)
+            paths = paths + spaths
+            l2i = np.concatenate([l2i, sl2i], axis=0)
+        gt_bboxes, gt_labels, gt_valid = self.padded_gt(info)
+        return {
+            "token": info["token"],
+            "image_paths": paths,
+            "lidar2img": l2i,
+            "gt_bboxes": gt_bboxes,
+            "gt_labels": gt_labels,
+            "gt_valid": gt_valid,
+            "timestamp": info["timestamp"],
+        }

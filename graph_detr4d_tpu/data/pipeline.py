@@ -1,0 +1,241 @@
+"""Image pipeline: decode -> resize(-crop-flip) -> normalize -> pad.
+
+Host-side numpy transforms producing fixed-shape device batches; each
+transform that changes image geometry rewrites `lidar2img` so the on-device
+projection stays consistent. Parity targets in
+datasets/pipelines/transform_3d.py:
+
+  * NormalizeMultiviewImage (:80-113) — mean/std, RGB.
+  * PadMultiViewImage (:28-77) — pad to /32.
+  * ResizeCropFlipImage (:362-468) — BEVDet-style ida aug: scale, crop,
+    optional horizontal flip; composes a 3x3 ida matrix into the camera
+    intrinsics (left-multiplies lidar2img).
+  * GlobalRotScaleTransImage (:471-551) — BEV yaw rotation + scaling
+    applied to lidar2img AND GT boxes (reverse_angle=True).
+  * PhotoMetricDistortionMultiViewImage (:687-784) — brightness/contrast/
+    saturation/hue jitter.
+
+IMG_MEAN/STD match img_norm_cfg (configs/...12e.py:13-14).
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMG_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def _resize_img(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.resize(
+            img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR
+        )
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(img.astype(np.uint8)).resize(
+                (out_hw[1], out_hw[0]), Image.BILINEAR
+            )
+        ).astype(img.dtype)
+
+
+def load_image(path: str) -> np.ndarray:
+    """RGB uint8 HWC."""
+    try:
+        import cv2
+
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        return bgr[..., ::-1].copy()
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+@dataclass
+class IdaAugParams:
+    """One sampled image-domain augmentation (resize/crop/flip)."""
+
+    resize: float
+    crop: Tuple[int, int, int, int]  # (x1, y1, x2, y2) in resized coords
+    flip: bool
+
+    def ida_mat(self) -> np.ndarray:
+        """3x3 matrix mapping original pixel coords -> augmented coords."""
+        m = np.eye(3)
+        m[0, 0] = m[1, 1] = self.resize
+        m[0, 2] -= self.crop[0]
+        m[1, 2] -= self.crop[1]
+        if self.flip:
+            w = self.crop[2] - self.crop[0]
+            f = np.array([[-1.0, 0, w - 1], [0, 1.0, 0], [0, 0, 1.0]])
+            m = f @ m
+        return m
+
+
+def sample_ida_params(
+    rng: np.random.RandomState,
+    src_hw: Tuple[int, int],
+    final_hw: Tuple[int, int],
+    resize_lim: Tuple[float, float] = (0.94, 1.25),
+    bot_pct_lim: Tuple[float, float] = (0.0, 0.0),
+    rand_flip: bool = True,
+    training: bool = True,
+) -> IdaAugParams:
+    """ida_aug_conf sampling (transform_3d.py:414-449; config :130-138).
+
+    The reference's resize_lim multiplies final_w/src_w, so the resized
+    image always covers final_dim and the crop stays in-bounds."""
+    H, W = src_hw
+    fH, fW = final_hw
+    base = fW / W
+    if training:
+        resize = base * rng.uniform(*resize_lim)
+        newW, newH = int(W * resize), int(H * resize)
+        crop_h = (
+            int((1 - rng.uniform(*bot_pct_lim)) * newH) - fH
+        )
+        crop_w = int(rng.uniform(0, max(0, newW - fW)))
+        flip = bool(rand_flip and rng.rand() < 0.5)
+    else:
+        resize = base * np.mean(resize_lim)
+        newW, newH = int(W * resize), int(H * resize)
+        crop_h = int((1 - np.mean(bot_pct_lim)) * newH) - fH
+        crop_w = int(max(0, newW - fW) / 2)
+        flip = False
+    crop_h = max(0, crop_h)
+    crop = (crop_w, crop_h, crop_w + fW, crop_h + fH)
+    return IdaAugParams(resize=resize, crop=crop, flip=flip)
+
+
+def apply_ida(
+    img: np.ndarray, l2i: np.ndarray, p: IdaAugParams
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Resize/crop/flip one image and left-compose ida into lidar2img."""
+    H, W = img.shape[:2]
+    newH, newW = int(H * p.resize), int(W * p.resize)
+    img = _resize_img(img, (newH, newW))
+    x1, y1, x2, y2 = p.crop
+    # pad if the crop exceeds the resized image (can happen by 1px rounding)
+    ph, pw = max(0, y2 - newH), max(0, x2 - newW)
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+    img = img[y1:y2, x1:x2]
+    if p.flip:
+        img = img[:, ::-1]
+    ida4 = np.eye(4, dtype=np.float64)
+    ida4[:2, :2] = p.ida_mat()[:2, :2]
+    ida4[:2, 3] = p.ida_mat()[:2, 2]
+    return np.ascontiguousarray(img), (ida4 @ l2i).astype(np.float32)
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    return (img.astype(np.float32) - IMG_MEAN) / IMG_STD
+
+
+def pad_to_divisor(img: np.ndarray, divisor: int = 32) -> np.ndarray:
+    H, W = img.shape[:2]
+    ph = (divisor - H % divisor) % divisor
+    pw = (divisor - W % divisor) % divisor
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+    return img
+
+
+def global_rot_scale_trans(
+    l2i: np.ndarray,
+    gt_bboxes: np.ndarray,
+    rng: np.random.RandomState,
+    rot_range=(-0.3925, 0.3925),
+    scale_range=(0.95, 1.05),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """BEV rotation + scale on calibration and boxes
+    (transform_3d.py:471-551, reverse_angle=True):
+      points rotate by +a <-> lidar2img right-multiplied by R(-a)^T;
+      boxes rotate by -a on yaw (reverse_angle) and centers by R."""
+    a = rng.uniform(*rot_range)
+    s = rng.uniform(*scale_range)
+    ca, sa = np.cos(a), np.sin(a)
+    R = np.array(
+        [[ca, -sa, 0, 0], [sa, ca, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+    )
+    # calibration: new_l2i = l2i @ inv(world_transform); world transform is
+    # rotate-by-a then scale-by-s
+    inv = np.diag([1 / s, 1 / s, 1 / s, 1.0]) @ R.T
+    l2i = (l2i @ inv[None]).astype(np.float32)
+
+    out = gt_bboxes.copy()
+    xyz = out[..., :3] @ R[:3, :3].T
+    out[..., :3] = xyz * s
+    out[..., 3:6] *= s
+    out[..., 6] += a
+    if out.shape[-1] > 7:
+        out[..., 7:9] = out[..., 7:9] @ R[:2, :2].T * s
+    return l2i, out
+
+
+def photometric_distortion(
+    img: np.ndarray, rng: np.random.RandomState
+) -> np.ndarray:
+    """Brightness/contrast/saturation jitter (transform_3d.py:687-784,
+    simplified: hue rotation approximated in RGB)."""
+    img = img.astype(np.float32)
+    if rng.randint(2):
+        img = img + rng.uniform(-32, 32)
+    mode = rng.randint(2)
+    if mode == 1 and rng.randint(2):
+        img = img * rng.uniform(0.5, 1.5)
+    if rng.randint(2):  # saturation via luma mix
+        luma = img.mean(-1, keepdims=True)
+        img = luma + (img - luma) * rng.uniform(0.5, 1.5)
+    if mode == 0 and rng.randint(2):
+        img = img * rng.uniform(0.5, 1.5)
+    return np.clip(img, 0, 255)
+
+
+def build_batch(
+    samples: Sequence[dict],
+    final_hw: Tuple[int, int],
+    *,
+    training: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+    src_hw: Tuple[int, int] = (900, 1600),
+) -> dict:
+    """Assemble a fixed-shape batch dict from dataset samples (images
+    loaded from disk, one shared ida per sample like the reference)."""
+    rng = rng or np.random.RandomState(0)
+    images, l2is = [], []
+    gtb, gtl, gtv = [], [], []
+    for s in samples:
+        p = sample_ida_params(rng, src_hw, final_hw, training=training)
+        cams, mats = [], []
+        bboxes = s["gt_bboxes"]
+        for path, l2i in zip(s["image_paths"], s["lidar2img"]):
+            img = load_image(path)
+            if training:
+                img = photometric_distortion(img, rng)
+            img, m = apply_ida(img, l2i, p)
+            img = normalize_image(img)
+            img = pad_to_divisor(img)
+            cams.append(img)
+            mats.append(m)
+        mats = np.asarray(mats)
+        if training:
+            mats, bboxes = global_rot_scale_trans(mats, bboxes, rng)
+        images.append(np.stack(cams))
+        l2is.append(mats)
+        gtb.append(bboxes)
+        gtl.append(s["gt_labels"])
+        gtv.append(s["gt_valid"])
+    return {
+        "images": np.stack(images),
+        "lidar2img": np.stack(l2is).astype(np.float32),
+        "gt_bboxes": np.stack(gtb),
+        "gt_labels": np.stack(gtl),
+        "gt_valid": np.stack(gtv),
+    }

@@ -1,0 +1,183 @@
+"""Graph-structured 3D deformable cross-attention (the Graph-DETR4D core).
+
+Behavioral parity with Deform3DCrossAttn
+(projects/mmdet3d_plugin/models/utils/deform3d_cross_attn.py:33-339):
+
+  1. per-query learned 3D offsets (num_heads x num_points, circular-cone
+     bias init, :138-148) are added to the metric reference point,
+  2. the resulting graph of fake queries is projected into all cameras
+     (:232-252) with in-front/in-image validity masks,
+  3. multi-scale deformable attention gathers per-camera features with
+     softmax(L*P) weights * mask (:281-309),
+  4. a sigmoid per-camera gate sums across cameras (:320-324),
+  5. output projection + dropout + residual + positional MLP of the
+     inverse-sigmoid reference point (:326-338).
+
+TPU-native: cameras fold into the batch axis of one MSDA call; everything
+is static-shape einsum/gather that XLA fuses. The MSDA inner loop can be
+swapped for the fused Pallas kernel (ops/msda_pallas.py).
+"""
+
+import math
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.msda import multi_scale_deformable_attention
+from ..geometry.projection import denormalize_points
+from ..utils.math import inverse_sigmoid
+
+
+def _offset_bias_init(num_heads: int, num_points: int) -> np.ndarray:
+    """Circular-cone 3D offset bias (deform3d_cross_attn.py:138-148)."""
+    thetas = np.arange(num_heads, dtype=np.float32) * (
+        2.0 * math.pi / num_heads
+    )
+    grid = np.stack([np.cos(thetas), np.sin(thetas), np.cos(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, 1, num_points, 1))
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1)
+
+
+class Deform3DCrossAttn(nn.Module):
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    num_cams: int = 12
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Q, C)
+        value_levels: Sequence[jnp.ndarray],  # L x (B, N, H_l, W_l, C)
+        query_pos: jnp.ndarray,  # (B, Q, C)
+        reference_points: jnp.ndarray,  # (B, Q, 3) in [0, 1]
+        lidar2img: jnp.ndarray,  # (B, N, 4, 4)
+        img_shape: Tuple[int, int],  # static (H_img, W_img)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Q, C = query.shape
+        H_heads, L, P, N = (
+            self.num_heads,
+            self.num_levels,
+            self.num_points,
+            self.num_cams,
+        )
+        hd = C // H_heads
+        residual = query
+        q = query + query_pos
+
+        cam_gate_logits = nn.Dense(
+            N,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="cam_attention_weights",
+        )(q)  # (B, Q, N)
+
+        offsets = nn.Dense(
+            H_heads * P * 3,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _offset_bias_init(H_heads, P), dtype
+            ),
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(q).reshape(B, Q, H_heads, 1, P, 3)
+
+        ref_metric = denormalize_points(
+            reference_points.astype(jnp.float32), self.pc_range
+        )
+        # graph nodes: (B, Q, heads, L, P, 3) — offsets shared across levels
+        pts = ref_metric[:, :, None, None, None, :] + jnp.broadcast_to(
+            offsets.astype(jnp.float32), (B, Q, H_heads, L, P, 3)
+        )
+
+        # project every node into every camera (deform3d_cross_attn.py:232-252)
+        img_h, img_w = img_shape
+        hom = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+        cam_pts = jnp.einsum("bnij,bqhlpj->bnqhlpi", lidar2img, hom)
+        eps = 1e-5
+        z = cam_pts[..., 2:3]
+        xy = cam_pts[..., 0:2] / jnp.maximum(z, eps)
+        loc = xy / jnp.asarray([img_w, img_h], dtype=xy.dtype)
+        valid = (
+            (z > eps)
+            & (loc[..., 0:1] > 0.0)
+            & (loc[..., 0:1] < 1.0)
+            & (loc[..., 1:2] > 0.0)
+            & (loc[..., 1:2] < 1.0)
+        )[..., 0].astype(
+            jnp.float32
+        )  # (B, N, Q, heads, L, P)
+
+        # attention weights: identical logits for every camera (the reference
+        # repeats the same query per cam, :277-284), softmax over L*P, then
+        # mask multiplicatively
+        attn_logits = nn.Dense(
+            H_heads * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(q).reshape(B, Q, H_heads, L * P)
+        attn = jax.nn.softmax(attn_logits.astype(jnp.float32), axis=-1)
+        attn = attn.reshape(B, 1, Q, H_heads, L, P) * valid
+
+        # value projection per level, split into heads
+        vproj = nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="value_proj",
+        )
+        values = [
+            vproj(v).reshape(B * N, v.shape[2], v.shape[3], H_heads, hd)
+            for v in value_levels
+        ]
+
+        loc_flat = loc.reshape(B * N, Q, H_heads, L, P, 2).astype(self.dtype)
+        attn_flat = attn.reshape(B * N, Q, H_heads, L, P)
+        sampled = multi_scale_deformable_attention(
+            values, loc_flat, attn_flat.astype(self.dtype)
+        )  # (B*N, Q, C)
+        sampled = sampled.reshape(B, N, Q, C)
+
+        # per-camera sigmoid gate, sum over cameras (:320-324)
+        gate = jax.nn.sigmoid(cam_gate_logits.astype(jnp.float32))
+        gate = gate.transpose(0, 2, 1)[..., None]  # (B, N, Q, 1)
+        out = (sampled.astype(jnp.float32) * gate).sum(axis=1)
+
+        out = nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="output_proj",
+        )(out.astype(self.dtype))
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+        # positional MLP over inverse-sigmoid normalized ref points (:334)
+        pe = reference_points.astype(jnp.float32)
+        pe = inverse_sigmoid(pe)
+        pos_feat = nn.Sequential(
+            [
+                nn.Dense(C, dtype=self.dtype),
+                nn.LayerNorm(dtype=self.dtype),
+                nn.relu,
+                nn.Dense(C, dtype=self.dtype),
+                nn.LayerNorm(dtype=self.dtype),
+                nn.relu,
+            ],
+            name="position_encoder",
+        )(pe.astype(self.dtype))
+
+        return out + residual + pos_feat

@@ -1,0 +1,75 @@
+"""GraphDETR4D detector: grid-mask -> backbone -> FPN -> head.
+
+Parity with the Detr3D detector wrapper
+(projects/mmdet3d_plugin/models/detectors/detr3d.py:10-216): all cameras
+fold into the batch axis for the conv stack (:62-66), then un-fold to
+(B, N, ...) for the head. GridMask applies only in training (:53-54).
+
+TPU-first: NHWC throughout, bf16 compute dtype optional, `jax.checkpoint`
+on backbone stages via ResNet(remat=True).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import ModelConfig
+from .resnet import ResNet
+from .fpn import FPN
+from .head import Detr3DHeadPE
+from .grid_mask import grid_mask
+
+
+class GraphDETR4D(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
+        self.backbone = ResNet(
+            depth=self.cfg.backbone.depth,
+            out_indices=self.cfg.backbone.out_indices,
+            stage_with_dcn=self.cfg.backbone.stage_with_dcn,
+            use_dcn=self.cfg.backbone.use_dcn,
+            dtype=dtype,
+        )
+        self.neck = FPN(
+            out_channels=self.cfg.neck.out_channels,
+            start_level=self.cfg.neck.start_level,
+            num_outs=self.cfg.neck.num_outs,
+            relu_before_extra_convs=self.cfg.neck.relu_before_extra_convs,
+            dtype=dtype,
+        )
+        self.head = Detr3DHeadPE(
+            cfg=self.cfg.head, img_shape=self.cfg.img_size, dtype=dtype
+        )
+
+    def extract_feats(self, images, train: bool, rng: Optional[jax.Array]):
+        """images (B, N, H, W, 3) -> L x (B, N, h, w, C)."""
+        B, N, H, W, _ = images.shape
+        if train and self.cfg.train.use_grid_mask and rng is not None:
+            images = grid_mask(rng, images, prob=self.cfg.train.grid_mask_prob)
+        dtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
+        x = images.reshape(B * N, H, W, 3).astype(dtype)
+        feats = self.backbone(x)
+        feats = self.neck(feats)
+        return [
+            f.reshape(B, N, *f.shape[1:3], f.shape[-1]) for f in feats
+        ]
+
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, N, H, W, 3) normalized
+        lidar2img: jnp.ndarray,  # (B, N, 4, 4)
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        depth_factors: Optional[jnp.ndarray] = None,
+    ):
+        feats = self.extract_feats(images, train, rng)
+        return self.head(
+            feats,
+            lidar2img,
+            deterministic=not train,
+            depth_factors=depth_factors,
+        )

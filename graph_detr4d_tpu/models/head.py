@@ -1,0 +1,257 @@
+"""Detr3DHeadPE — the Graph-DETR4D detection head.
+
+Parity with projects/mmdet3d_plugin/models/dense_heads/detr3d_head_pe.py:
+  * PETR-style 3D position embedding: LID depth bins back-projected through
+    img2lidar, MLP-encoded, gated by an SE layer (`fpe`), summed with a
+    3-axis sine PE (:427-491, :541-553).
+  * temporal detach: past-frame cameras of the *first* FPN level are
+    stop-gradiented (:512-516 — the reference detaches only level 0; we
+    mirror that exactly).
+  * 900 learned queries -> 6-layer decoder with iterative refinement;
+    per-layer cls/reg branches (box-refine mode = untied weights, :406-408).
+  * decode math: xy/z offsets added in inverse-sigmoid space, then
+    sigmoid + denorm to pc_range (:587-600).
+
+All shapes static; the decoder loop is unrolled; cls bias initialised to
+focal-prior -log((1-p)/p), p=0.01 (:419-425).
+"""
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import HeadConfig
+from .layers import SELayer
+from .positional import sine_positional_encoding_3d, lid_depth_bins
+from .transformer import DecoderLayer
+from ..utils.math import inverse_sigmoid
+
+
+def _bias_init_prob(p: float):
+    b = -math.log((1.0 - p) / p)
+    return nn.initializers.constant(b)
+
+
+class ClsBranch(nn.Module):
+    embed_dims: int
+    num_classes: int
+    num_fcs: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_fcs):
+            x = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(
+            self.num_classes,
+            bias_init=_bias_init_prob(0.01),
+            dtype=self.dtype,
+            name="out",
+        )(x)
+
+
+class RegBranch(nn.Module):
+    embed_dims: int
+    code_size: int
+    num_fcs: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_fcs):
+            x = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.code_size, dtype=self.dtype, name="out")(x)
+
+
+class Detr3DHeadPE(nn.Module):
+    cfg: HeadConfig
+    img_shape: tuple  # static network input (H, W) == pad_shape
+    dtype: jnp.dtype = jnp.float32
+
+    def _position_embedding(self, feats, lidar2img):
+        """LID-bin 3D position embedding for one level (:427-491)."""
+        cfg = self.cfg
+        B, N, H, W, C = feats.shape
+        pad_h, pad_w = self.img_shape
+        eps = 1e-5
+
+        coords_h = jnp.arange(H, dtype=jnp.float32) * pad_h / H
+        coords_w = jnp.arange(W, dtype=jnp.float32) * pad_w / W
+        coords_d = lid_depth_bins(
+            cfg.depth_num, cfg.depth_start, cfg.pc_range[3]
+        )
+        D = cfg.depth_num
+        # (H, W, D, 4) homogeneous image points (x*d, y*d, d, 1)
+        x = coords_w[None, :, None]
+        y = coords_h[:, None, None]
+        d = jnp.maximum(coords_d[None, None, :], eps)
+        ones = jnp.ones((H, W, D), jnp.float32)
+        coords = jnp.stack(
+            [
+                jnp.broadcast_to(x * d, (H, W, D)),
+                jnp.broadcast_to(y * d, (H, W, D)),
+                d * ones,
+                ones,
+            ],
+            axis=-1,
+        )  # (H, W, D, 4)
+
+        img2lidar = jnp.linalg.inv(lidar2img.astype(jnp.float32))
+        p3d = jnp.einsum("bnij,hwdj->bnhwdi", img2lidar, coords)[..., :3]
+        lo = jnp.asarray(cfg.pc_range[:3])
+        hi = jnp.asarray(cfg.pc_range[3:])
+        p3d = (p3d - lo) / (hi - lo)
+        p3d = inverse_sigmoid(p3d)
+        return p3d.reshape(B, N, H, W, D * 3)
+
+    @nn.compact
+    def __call__(
+        self,
+        mlvl_feats: Sequence[jnp.ndarray],  # L x (B, N, H, W, C)
+        lidar2img: jnp.ndarray,  # (B, N, 4, 4)
+        deterministic: bool = True,
+        depth_factors: Optional[jnp.ndarray] = None,  # (B,) for scale_pred
+    ):
+        cfg = self.cfg
+        C = cfg.embed_dims
+        B, N = mlvl_feats[0].shape[:2]
+
+        # ---- temporal detach of past-frame cameras, level 0 only (:512-516)
+        if cfg.with_detach and N > cfg.num_frame_cams:
+            cur = mlvl_feats[0][:, : cfg.num_frame_cams]
+            past = jax.lax.stop_gradient(
+                mlvl_feats[0][:, cfg.num_frame_cams :]
+            )
+            mlvl_feats = [jnp.concatenate([cur, past], axis=1)] + list(
+                mlvl_feats[1:]
+            )
+
+        # ---- shared PE modules (one instance across levels, :386-396)
+        position_encoder = nn.Sequential(
+            [
+                nn.Dense(C * 4, dtype=self.dtype),
+                nn.relu,
+                nn.Dense(C, dtype=self.dtype),
+            ],
+            name="position_encoder",
+        )
+        adapt_pos3d = nn.Sequential(
+            [
+                nn.Dense(C * 4, dtype=self.dtype),
+                nn.relu,
+                nn.Dense(C, dtype=self.dtype),
+            ],
+            name="adapt_pos3d",
+        )
+        fpe = SELayer(C, dtype=self.dtype, name="fpe")
+
+        feats_pe = []
+        for feat in mlvl_feats:
+            _, _, H, W, _ = feat.shape
+            pe3d = self._position_embedding(feat, lidar2img)
+            pe = position_encoder(pe3d.astype(self.dtype))
+            pe = fpe(pe, feat)
+            # all-valid masks: the fused input pipeline always pads to the
+            # exact network size, so mask == 0 everywhere (:524-539)
+            mask = jnp.zeros((B, N, H, W), jnp.float32)
+            sin = sine_positional_encoding_3d(
+                mask, num_feats=cfg.pe_num_feats, dtype=jnp.float32
+            )
+            pe = pe + adapt_pos3d(sin.astype(self.dtype))
+            feats_pe.append(feat + pe)
+
+        # ---- queries and initial reference points
+        query_embed = self.param(
+            "query_embedding",
+            nn.initializers.normal(1.0),
+            (cfg.num_query, C * 2),
+        )
+        query_pos, query = jnp.split(query_embed, 2, axis=-1)
+        query_pos = jnp.broadcast_to(
+            query_pos[None].astype(self.dtype), (B, cfg.num_query, C)
+        )
+        query = jnp.broadcast_to(
+            query[None].astype(self.dtype), (B, cfg.num_query, C)
+        )
+        reference_points = jax.nn.sigmoid(
+            nn.Dense(
+                3,
+                kernel_init=nn.initializers.xavier_uniform(),
+                dtype=jnp.float32,
+                name="reference_points",
+            )(query_pos.astype(jnp.float32))
+        )
+
+        # ---- decoder loop with per-layer branches (inlined transformer)
+        cls_scores = []
+        bbox_preds = []
+        for lid in range(cfg.num_decoder_layers):
+            query = DecoderLayer(
+                embed_dims=C,
+                num_heads=cfg.num_heads,
+                num_levels=cfg.num_levels,
+                num_points=cfg.num_points,
+                num_cams=cfg.num_cams,
+                ffn_dims=cfg.ffn_dims,
+                pc_range=cfg.pc_range,
+                dropout=cfg.dropout,
+                dtype=self.dtype,
+                name=f"decoder_layer{lid}",
+            )(
+                query,
+                query_pos,
+                feats_pe,
+                reference_points,
+                lidar2img,
+                self.img_shape,
+                deterministic=deterministic,
+            )
+
+            score = ClsBranch(
+                C,
+                cfg.num_classes,
+                cfg.num_reg_fcs,
+                dtype=self.dtype,
+                name=f"cls_branch{lid}",
+            )(query)
+            tmp = RegBranch(
+                C,
+                cfg.code_size,
+                cfg.num_reg_fcs,
+                dtype=self.dtype,
+                name=f"reg_branch{lid}",
+            )(query).astype(jnp.float32)
+
+            # decode w.r.t. the reference *entering* this layer (:587-600)
+            ref = inverse_sigmoid(reference_points)
+            xy = jax.nn.sigmoid(tmp[..., 0:2] + ref[..., 0:2])
+            z = jax.nn.sigmoid(tmp[..., 4:5] + ref[..., 2:3])
+
+            pc = cfg.pc_range
+            cx = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+            cy = xy[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+            cz = z * (pc[5] - pc[2]) + pc[2]
+            if cfg.scale_pred and depth_factors is not None:
+                df = depth_factors[:, None, None]
+                cx, cy, cz = cx * df, cy * df, cz * df
+            coord = jnp.concatenate(
+                [cx, cy, tmp[..., 2:4], cz, tmp[..., 5:]], axis=-1
+            )
+            cls_scores.append(score.astype(jnp.float32))
+            bbox_preds.append(coord)
+
+            # iterative refinement for the next layer, detached (:201-214)
+            reference_points = jax.lax.stop_gradient(
+                jnp.concatenate([xy, z], axis=-1)
+            )
+
+        return {
+            "all_cls_scores": jnp.stack(cls_scores),
+            "all_bbox_preds": jnp.stack(bbox_preds),
+        }

@@ -1,0 +1,58 @@
+"""Positional encodings.
+
+`sine_positional_encoding_3d` reproduces SinePositionalEncoding3D
+(projects/mmdet3d_plugin/models/utils/positional_encoding.py:15-100):
+cumulative-sum embeddings over (camera index, y, x) with normalize=True,
+offset=-0.5, temperature 10000; output (B, N, H, W, 3*num_feats).
+
+Channels-last output; the head's adapt_pos3d 1x1 conv maps it to embed_dims.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+
+def sine_positional_encoding_3d(
+    mask: jnp.ndarray,
+    num_feats: int = 128,
+    temperature: float = 10000.0,
+    offset: float = -0.5,
+    eps: float = 1e-6,
+    scale: float = 2 * math.pi,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """mask: (B, N, H, W) with 1 = padding (ignored), 0 = valid."""
+    not_mask = 1.0 - mask.astype(jnp.float32)
+    n_embed = jnp.cumsum(not_mask, axis=1)
+    y_embed = jnp.cumsum(not_mask, axis=2)
+    x_embed = jnp.cumsum(not_mask, axis=3)
+    n_embed = (n_embed + offset) / (n_embed[:, -1:, :, :] + eps) * scale
+    y_embed = (y_embed + offset) / (y_embed[:, :, -1:, :] + eps) * scale
+    x_embed = (x_embed + offset) / (x_embed[:, :, :, -1:] + eps) * scale
+
+    dim_t = jnp.arange(num_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_feats)
+
+    def encode(e):
+        p = e[..., None] / dim_t
+        # interleave sin on even dims, cos on odd dims
+        return jnp.stack(
+            [jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1
+        ).reshape(*e.shape, num_feats)
+
+    pos = jnp.concatenate(
+        [encode(n_embed), encode(y_embed), encode(x_embed)], axis=-1
+    )
+    return pos.astype(dtype)
+
+
+def lid_depth_bins(
+    depth_num: int, depth_start: float, depth_max: float
+) -> jnp.ndarray:
+    """Linear-increasing-discretisation depth bin centers
+    (detr3d_head_pe.py:452-455): d_i = start + bin * i * (i+1),
+    bin = (max - start) / (D * (D + 1))."""
+    index = jnp.arange(depth_num, dtype=jnp.float32)
+    bin_size = (depth_max - depth_start) / (depth_num * (1 + depth_num))
+    return depth_start + bin_size * index * (index + 1)

@@ -1,0 +1,218 @@
+"""ResNet backbone (mmcv 'pytorch' style), channels-last, frozen BN.
+
+Capability parity with the reference's external mmdet ResNet as configured
+at configs/detr4d/...12e.py:32-41: depth 50, out_indices (0,1,2,3),
+frozen_stages=1, BN frozen everywhere, DCNv2 on stages 3-4. 'pytorch' style
+puts the stride on the bottleneck's 3x3 conv.
+
+TPU-first choices: NHWC layout (native for TPU convs), frozen BN folded to
+affine (no stat sync), optional `jax.checkpoint` rematerialisation per
+stage, DCNv2 as the gather-based op in ops/deform_conv.py. Parameter
+freezing (frozen_stages) is handled by the optimizer mask in
+train/optim.py, mirroring requires_grad=False semantics.
+"""
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import FrozenBatchNorm
+from ..ops.deform_conv import deform_conv2d
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+}
+
+
+class DeformConv(nn.Module):
+    """DCNv2 layer: offset/mask conv (zero-init) + deformable gather-conv."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        K = 9
+        om = nn.Conv(
+            3 * K,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=1,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_offset",
+        )(x)
+        off = om[..., : 2 * K].reshape(*om.shape[:-1], K, 2)
+        mask = jax.nn.sigmoid(om[..., 2 * K :])
+        cin = x.shape[-1]
+        weight = self.param(
+            "weight",
+            nn.initializers.he_normal(),
+            (K, cin, self.features),
+        )
+        return deform_conv2d(
+            x, off, mask, weight, stride=self.stride, padding=1
+        )
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    use_dcn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        y = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features,
+            (3, 3),
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = nn.Conv(
+                self.features,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(
+                self.features, dtype=self.dtype, name="downsample_bn"
+            )(identity)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride, maybe DCN) -> 1x1(x4) with frozen BN."""
+
+    features: int  # width of the 3x3; output is 4x
+    stride: int = 1
+    use_dcn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.features * 4
+        identity = x
+        y = nn.Conv(
+            self.features,
+            (1, 1),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        y = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        if self.use_dcn:
+            y = DeformConv(
+                self.features, stride=self.stride, dtype=self.dtype, name="conv2"
+            )(y)
+        else:
+            y = nn.Conv(
+                self.features,
+                (3, 3),
+                strides=(self.stride, self.stride),
+                padding=1,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv2",
+            )(y)
+        y = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+        )(y)
+        y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3")(y)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            identity = nn.Conv(
+                out_ch,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(
+                out_ch, dtype=self.dtype, name="downsample_bn"
+            )(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    depth: int = 50
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    stage_with_dcn: Sequence[bool] = (False, False, True, True)
+    use_dcn: bool = True
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, 3) -> list of (B, H/4..H/32, ..., C) feature maps."""
+        block_type, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = Bottleneck if block_type == "bottleneck" else BasicBlock
+
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=3,
+            use_bias=False,
+            dtype=self.dtype,
+            name="stem_conv",
+        )(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        width = 64
+        for stage, num_blocks in enumerate(stage_blocks):
+            dcn = self.use_dcn and self.stage_with_dcn[stage]
+            for b in range(num_blocks):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                block = block_cls(
+                    features=width,
+                    stride=stride,
+                    use_dcn=dcn,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_block{b}",
+                )
+                if self.remat:
+                    x = nn.remat(type(block))(
+                        features=width,
+                        stride=stride,
+                        use_dcn=dcn,
+                        dtype=self.dtype,
+                        name=f"layer{stage + 1}_block{b}",
+                    )(x)
+                else:
+                    x = block(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            width *= 2
+        return outs

@@ -1,0 +1,123 @@
+"""Jitted train/eval steps, data-parallel over a device mesh.
+
+The train step corresponds to one iteration of the reference's
+EpochBasedRunner loop (SURVEY §3.1): forward -> set loss -> backward ->
+clipped AdamW update. Here it is a single pjit'd function: batch sharded on
+the mesh 'data' axis, params replicated, GSPMD inserting the gradient
+all-reduce over ICI (replacing DDP/NCCL, apis/mmdet_distill_train.py:74-82).
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from ..config import ModelConfig
+from ..core.losses import detr3d_loss
+from ..core.coder import decode_batch
+from ..train.optim import build_optimizer
+from .mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def init_state(model, cfg: ModelConfig, rng) -> TrainState:
+    B, N = 1, cfg.head.num_cams
+    H, W = cfg.img_size
+    imgs = jnp.zeros((B, N, H, W, 3), jnp.float32)
+    l2i = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, N, 4, 4))
+    variables = model.init({"params": rng}, imgs, l2i)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(cfg.train)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def build_train_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
+    tx = build_optimizer(cfg.train)
+
+    def train_step(state: TrainState, batch, rng):
+        rng_gm, rng_do = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"],
+                batch["lidar2img"],
+                train=True,
+                rng=rng_gm,
+                depth_factors=batch.get("depth_factors"),
+                rngs={"dropout": rng_do},
+            )
+            return detr3d_loss(
+                out,
+                batch["gt_bboxes"],
+                batch["gt_labels"],
+                batch["gt_valid"],
+                cfg.loss,
+                cfg.head,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state
+            ),
+            metrics,
+        )
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def build_eval_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
+    def eval_step(params, batch_stats, batch):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"],
+            batch["lidar2img"],
+            train=False,
+            depth_factors=batch.get("depth_factors"),
+        )
+        return decode_batch(
+            out,
+            max_num=cfg.coder.max_num,
+            post_center_range=cfg.coder.post_center_range,
+            score_threshold=cfg.coder.score_threshold,
+        )
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(repl, repl, data),
+        out_shardings=data,
+    )

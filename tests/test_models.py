@@ -1,0 +1,241 @@
+"""Model stack: backbone/FPN shapes, head forward, coder, loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graph_detr4d_tpu.config import tiny_test_config
+from graph_detr4d_tpu.models import GraphDETR4D, ResNet, FPN
+from graph_detr4d_tpu.core import nms_free_decode, detr3d_loss
+from graph_detr4d_tpu.core.coder import decode_batch
+from graph_detr4d_tpu.geometry.boxes import normalize_bbox
+
+CFG = tiny_test_config()
+
+
+def make_camera_rig(B, N, H, W, seed=0):
+    rng = np.random.RandomState(seed)
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 0.6 * W
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    l2i = np.zeros((B, N, 4, 4))
+    for b in range(B):
+        for n in range(N):
+            yaw = 2 * np.pi * n / N
+            R = np.array(
+                [
+                    [np.cos(yaw), -np.sin(yaw), 0],
+                    [np.sin(yaw), np.cos(yaw), 0],
+                    [0, 0, 1],
+                ]
+            )
+            # lidar->cam: x right, y down, z forward
+            perm = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+            ext = np.eye(4)
+            ext[:3, :3] = perm @ R
+            ext[:3, 3] = rng.randn(3) * 0.1
+            l2i[b, n] = K @ ext
+    return jnp.asarray(l2i, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = GraphDETR4D(CFG)
+    B, N = 1, CFG.head.num_cams
+    H, W = CFG.img_size
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(rng, (B, N, H, W, 3), jnp.float32) * 0.1
+    l2i = make_camera_rig(B, N, H, W)
+    variables = model.init({"params": rng}, imgs, l2i)
+    return model, variables, imgs, l2i
+
+
+def test_resnet_fpn_shapes():
+    x = jnp.zeros((2, 64, 128, 3))
+    bb = ResNet(depth=18, use_dcn=False)
+    vs = bb.init(jax.random.PRNGKey(0), x)
+    feats = bb.apply(vs, x)
+    assert [f.shape for f in feats] == [
+        (2, 16, 32, 64),
+        (2, 8, 16, 128),
+        (2, 4, 8, 256),
+        (2, 2, 4, 512),
+    ]
+    neck = FPN(out_channels=64)
+    nv = neck.init(jax.random.PRNGKey(1), feats)
+    outs = neck.apply(nv, feats)
+    assert [o.shape for o in outs] == [
+        (2, 8, 16, 64),
+        (2, 4, 8, 64),
+        (2, 2, 4, 64),
+        (2, 1, 2, 64),
+    ]
+
+
+def test_dcn_zero_offsets_close_to_plain_conv():
+    """DCNv2 with zero offsets and mask=0.5 equals 0.5 * standard conv."""
+    from graph_detr4d_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 9, 9, 4), jnp.float32)
+    w = jnp.asarray(rng.randn(9, 4, 6), jnp.float32)
+    off = jnp.zeros((1, 9, 9, 9, 2))
+    mask = jnp.full((1, 9, 9, 9), 0.5)
+    got = deform_conv2d(x, off, mask, w, stride=1, padding=1)
+
+    wk = w.reshape(3, 3, 4, 6)
+    want = 0.5 * jax.lax.conv_general_dilated(
+        x,
+        wk,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_detector_forward_shapes(model_and_vars):
+    model, variables, imgs, l2i = model_and_vars
+    out = model.apply(variables, imgs, l2i)
+    L, B, Q = CFG.head.num_decoder_layers, 1, CFG.head.num_query
+    assert out["all_cls_scores"].shape == (L, B, Q, CFG.head.num_classes)
+    assert out["all_bbox_preds"].shape == (L, B, Q, CFG.head.code_size)
+    assert bool(jnp.isfinite(out["all_cls_scores"]).all())
+    assert bool(jnp.isfinite(out["all_bbox_preds"]).all())
+    # predicted centers must lie inside pc_range (sigmoid-bounded)
+    pc = CFG.head.pc_range
+    xyz = np.asarray(out["all_bbox_preds"])[..., [0, 1, 4]]
+    assert (xyz[..., 0] >= pc[0]).all() and (xyz[..., 0] <= pc[3]).all()
+    assert (xyz[..., 2] >= pc[2]).all() and (xyz[..., 2] <= pc[5]).all()
+
+
+def test_train_mode_runs_with_dropout_and_gridmask(model_and_vars):
+    model, variables, imgs, l2i = model_and_vars
+    rng = jax.random.PRNGKey(3)
+    out = model.apply(
+        variables,
+        imgs,
+        l2i,
+        train=True,
+        rng=rng,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    assert bool(jnp.isfinite(out["all_cls_scores"]).all())
+
+
+def test_coder_decode():
+    rng = np.random.RandomState(0)
+    Q, C = 40, 10
+    logits = jnp.asarray(rng.randn(Q, C) * 2, jnp.float32)
+    codes = jnp.asarray(rng.randn(Q, 10), jnp.float32)
+    det = nms_free_decode(logits, codes, max_num=12)
+    assert det.bboxes.shape == (12, 9)
+    assert det.scores.shape == (12,)
+    # scores sorted descending
+    s = np.asarray(det.scores)
+    assert (np.diff(s) <= 1e-6).all()
+    # labels/bbox index math: top-1 must match argmax of flat sigmoid
+    flat = np.asarray(jax.nn.sigmoid(logits)).reshape(-1)
+    top = flat.argmax()
+    assert int(det.labels[0]) == top % C
+    np.testing.assert_allclose(
+        np.asarray(det.bboxes[0, 0]), np.asarray(codes[top // C, 0])
+    )
+
+
+def test_loss_decreases_on_perfect_prediction():
+    """Loss with predictions == encoded GT must be far below random preds."""
+    rng = np.random.RandomState(0)
+    B, Q, G, C = 1, CFG.head.num_query, CFG.loss.max_gt, CFG.head.num_classes
+    L = CFG.head.num_decoder_layers
+
+    gt = np.zeros((B, G, 9), np.float32)
+    n_real = 4
+    gt[:, :n_real, :3] = rng.randn(B, n_real, 3) * 10
+    gt[:, :n_real, 3:6] = rng.rand(B, n_real, 3) + 1.0
+    gt[:, :n_real, 6] = rng.rand(B, n_real) * np.pi
+    gt_labels = np.zeros((B, G), np.int64)
+    gt_labels[:, :n_real] = rng.randint(0, C, (B, n_real))
+    gt_valid = np.zeros((B, G), bool)
+    gt_valid[:, :n_real] = True
+
+    codes = np.asarray(normalize_bbox(jnp.asarray(gt)))  # (B, G, 10-ish)
+    perfect_bbox = np.tile(
+        rng.randn(B, Q, 10).astype(np.float32) * 0.1, (1, 1, 1)
+    )
+    perfect_bbox[:, :n_real, :] = np.concatenate(
+        [codes[:, :n_real], np.zeros((B, n_real, 10 - codes.shape[-1]))], -1
+    )[..., :10]
+    perfect_logits = np.full((B, Q, C), -8.0, np.float32)
+    for q in range(n_real):
+        perfect_logits[:, q, gt_labels[0, q]] = 8.0
+
+    random_preds = {
+        "all_cls_scores": jnp.asarray(
+            rng.randn(L, B, Q, C), jnp.float32
+        ),
+        "all_bbox_preds": jnp.asarray(
+            rng.randn(L, B, Q, 10), jnp.float32
+        ),
+    }
+    perfect_preds = {
+        "all_cls_scores": jnp.tile(jnp.asarray(perfect_logits), (L, 1, 1, 1)),
+        "all_bbox_preds": jnp.tile(jnp.asarray(perfect_bbox), (L, 1, 1, 1)),
+    }
+    args = (
+        jnp.asarray(gt),
+        jnp.asarray(gt_labels),
+        jnp.asarray(gt_valid),
+        CFG.loss,
+        CFG.head,
+    )
+    loss_rand, m_rand = detr3d_loss(random_preds, *args)
+    loss_perf, m_perf = detr3d_loss(perfect_preds, *args)
+    assert float(m_rand["num_pos"]) == n_real
+    assert float(loss_perf) < 0.25 * float(loss_rand)
+    assert np.isfinite(float(loss_rand)) and np.isfinite(float(loss_perf))
+
+
+def test_loss_gradients_flow_end_to_end(model_and_vars):
+    model, variables, imgs, l2i = model_and_vars
+    rng = np.random.RandomState(0)
+    G = CFG.loss.max_gt
+    gt = np.zeros((1, G, 9), np.float32)
+    gt[:, :2, :3] = [[5, 2, 0], [-3, 8, -1]]
+    gt[:, :2, 3:6] = 2.0
+    gt_labels = np.zeros((1, G), np.int64)
+    gt_valid = np.zeros((1, G), bool)
+    gt_valid[:, :2] = True
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+            imgs,
+            l2i,
+        )
+        loss, _ = detr3d_loss(
+            out,
+            jnp.asarray(gt),
+            jnp.asarray(gt_labels),
+            jnp.asarray(gt_valid),
+            CFG.loss,
+            CFG.head,
+        )
+        return loss
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    gnorm = float(
+        jnp.sqrt(sum((g.astype(jnp.float32) ** 2).sum() for g in flat))
+    )
+    assert gnorm > 0
+
+
+def test_decode_batch(model_and_vars):
+    model, variables, imgs, l2i = model_and_vars
+    out = model.apply(variables, imgs, l2i)
+    det = decode_batch(out, max_num=CFG.coder.max_num)
+    assert det.bboxes.shape == (1, CFG.coder.max_num, 9)
+    assert det.valid.dtype == jnp.bool_

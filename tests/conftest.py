@@ -5,7 +5,8 @@ Must set env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-set: the environment pre-sets JAX_PLATFORMS=axon (real TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon TPU plugin's sitecustomize sets jax_platforms programmatically,
+# overriding the env var — force CPU again at the config level
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

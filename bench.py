@@ -25,9 +25,14 @@ def load_cpu_baseline():
 
 def main():
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
     import numpy as np
-    from dataclasses import replace
     from graph_detr4d_tpu.config import ModelConfig, HeadConfig
     from graph_detr4d_tpu.models import GraphDETR4D
     from graph_detr4d_tpu.data.synthetic import synthetic_batch

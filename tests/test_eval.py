@@ -1,0 +1,101 @@
+"""nuScenes metric protocol sanity tests."""
+
+import numpy as np
+
+from graph_detr4d_tpu.eval import DetectionEvaluator, DetectionConfig
+
+
+def box(x, y, z=0.0, w=2.0, l=4.0, h=1.5, yaw=0.0, vx=0.0, vy=0.0):
+    return [x, y, z, w, l, h, yaw, vx, vy]
+
+
+def test_perfect_predictions_give_map_one():
+    ev = DetectionEvaluator(
+        DetectionConfig(class_names=("car", "pedestrian"))
+    )
+    gts = np.array([box(10, 0), box(-5, 3), box(0, 20)])
+    labels = np.array([0, 0, 8])
+    ev.add_sample(gts, labels, np.array([0.9, 0.8, 0.95]), gts, labels)
+    res = ev.evaluate()
+    # only classes present can score; per-class AP for car & pedestrian = 1
+    assert res["per_class_ap"]["car"] > 0.99
+    assert res["per_class_ap"]["pedestrian"] > 0.99
+    assert res["mATE"] < 1e-6
+    assert res["mASE"] < 1e-6
+    assert res["mAOE"] < 1e-6
+
+
+def test_no_predictions_zero_ap():
+    ev = DetectionEvaluator()
+    gts = np.array([box(10, 0)])
+    ev.add_sample(
+        np.zeros((0, 9)), np.zeros((0,)), np.zeros((0,)), gts, np.array([0])
+    )
+    res = ev.evaluate()
+    assert res["per_class_ap"]["car"] == 0.0
+    assert res["mAP"] == 0.0
+
+
+def test_distance_threshold_matters():
+    """A prediction 1.5 m off matches at th=2,4 but not 0.5,1 -> AP ~ 0.5."""
+    ev = DetectionEvaluator()
+    gt = np.array([box(10, 0)])
+    pred = np.array([box(10, 1.5)])
+    ev.add_sample(pred, np.array([0]), np.array([0.9]), gt, np.array([0]))
+    res = ev.evaluate()
+    ap = res["per_class_ap"]["car"]
+    assert 0.4 < ap < 0.6
+
+
+def test_range_filter_drops_far_boxes():
+    ev = DetectionEvaluator()
+    gt = np.array([box(100, 0)])  # beyond car range (50 m)
+    pred = np.array([box(100, 0)])
+    ev.add_sample(pred, np.array([0]), np.array([0.9]), gt, np.array([0]))
+    res = ev.evaluate()
+    assert res["per_class_ap"]["car"] == 0.0  # no GT in range -> empty
+
+
+def test_duplicate_predictions_hurt_precision():
+    ev_dup = DetectionEvaluator()
+    ev_clean = DetectionEvaluator()
+    gt = np.array([box(10, 0)])
+    dup = np.array([box(10, 0), box(10.2, 0), box(9.8, 0.2)])
+    ev_dup.add_sample(
+        dup, np.zeros(3, int), np.array([0.9, 0.85, 0.8]), gt, np.array([0])
+    )
+    ev_clean.add_sample(
+        dup[:1], np.zeros(1, int), np.array([0.9]), gt, np.array([0])
+    )
+    assert (
+        ev_dup.evaluate()["per_class_ap"]["car"]
+        <= ev_clean.evaluate()["per_class_ap"]["car"] + 1e-9
+    )
+
+
+def test_orientation_error_period_for_barrier():
+    ev = DetectionEvaluator(DetectionConfig(class_names=("barrier",)))
+    gt = np.array([box(10, 0, yaw=0.0)])
+    pred = np.array([box(10, 0, yaw=np.pi)])  # barrier: period pi -> err 0
+    ev.add_sample(pred, np.array([5]), np.array([0.9]), gt, np.array([5]))
+    res = ev.evaluate()
+    assert res["mAOE"] < 1e-6
+
+
+def test_velocity_error_measured():
+    ev = DetectionEvaluator(DetectionConfig(class_names=("car",)))
+    gt = np.array([box(10, 0, vx=2.0, vy=0.0)])
+    pred = np.array([box(10, 0, vx=0.0, vy=0.0)])
+    ev.add_sample(pred, np.array([0]), np.array([0.9]), gt, np.array([0]))
+    res = ev.evaluate()
+    assert abs(res["mAVE"] - 2.0) < 1e-6
+
+
+def test_nds_formula():
+    ev = DetectionEvaluator(DetectionConfig(class_names=("car",)))
+    gts = np.array([box(10, 0)])
+    ev.add_sample(gts, np.array([0]), np.array([0.9]), gts, np.array([0]))
+    res = ev.evaluate()
+    # single-class config: mAP = 1, all TP errors 0 => NDS = (5+5)/10
+    expect = (5 * res["mAP"] + 5.0) / 10.0
+    assert abs(res["NDS"] - expect) < 1e-9

@@ -1,0 +1,118 @@
+"""Training loop: the TPU-native replacement for mmcv's EpochBasedRunner
+(SURVEY §3.1 / L5). Single-controller: host loads + augments batches (numpy),
+one pjit'd train_step over the data mesh, metrics logged every `log_interval`
+iters (TextLoggerHook parity, configs/...12e.py:227-232), checkpoints every
+epoch with rotation, optional eval hook every `eval_interval` epochs.
+"""
+
+import json
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config import ModelConfig
+from ..parallel import make_mesh, shard_batch, replicate, build_train_step
+from ..parallel.step import init_state
+from .checkpoint import CheckpointManager
+
+
+class MetricLogger:
+    """JSONL metrics log (analyze_logs-compatible flat records) with
+    optional tensorboard via torch.utils.tensorboard."""
+
+    def __init__(self, work_dir: str, use_tensorboard: bool = True):
+        os.makedirs(work_dir, exist_ok=True)
+        self.path = os.path.join(work_dir, "train_log.jsonl")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(os.path.join(work_dir, "tb"))
+            except Exception:
+                self.tb = None
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": int(step)}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self.tb.add_scalar(k, v, step)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        cfg: ModelConfig,
+        work_dir: str,
+        batch_iter: Iterable[dict],
+        eval_fn: Optional[Callable] = None,
+        seed: int = 0,
+        log_interval: int = 50,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.batch_iter = batch_iter
+        self.eval_fn = eval_fn
+        self.log_interval = log_interval
+
+        self.mesh = make_mesh()
+        self.state = replicate(
+            init_state(model, cfg, jax.random.PRNGKey(seed)), self.mesh
+        )
+        self.train_step = build_train_step(model, cfg, self.mesh)
+        self.rng = jax.device_put(
+            jax.random.PRNGKey(seed + 1),
+            jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            ),
+        )
+        self.ckpt = CheckpointManager(
+            os.path.join(work_dir, "checkpoints"), cfg
+        )
+        self.logger = MetricLogger(work_dir)
+
+    def resume(self):
+        restored = self.ckpt.restore(jax.tree.map(np.asarray, self.state))
+        if restored is not None:
+            self.state = replicate(restored, self.mesh)
+        return int(self.state.step)
+
+    def fit(self, total_steps: int, ckpt_every: int = 1000):
+        t0 = time.time()
+        window = []
+        for batch in self.batch_iter:
+            step = int(self.state.step)
+            if step >= total_steps:
+                break
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(
+                self.state, batch, self.rng
+            )
+            window.append(metrics)
+            if (step + 1) % self.log_interval == 0:
+                avg = {
+                    k: float(np.mean([float(m[k]) for m in window]))
+                    for k in window[-1]
+                }
+                avg["iter_time"] = (time.time() - t0) / len(window)
+                self.logger.log(step + 1, avg)
+                window, t0 = [], time.time()
+            if (step + 1) % ckpt_every == 0:
+                self.ckpt.save(
+                    step + 1, jax.tree.map(np.asarray, self.state)
+                )
+                if self.eval_fn is not None:
+                    results = self.eval_fn(self.state)
+                    self.logger.log(step + 1, results)
+        self.ckpt.save(
+            int(self.state.step), jax.tree.map(np.asarray, self.state)
+        )

@@ -1,0 +1,98 @@
+"""Training loop pieces: optimizer schedule/masks, checkpoint roundtrip,
+multi-device train step on the virtual mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graph_detr4d_tpu.config import tiny_test_config, TrainConfig
+from graph_detr4d_tpu.models import GraphDETR4D
+from graph_detr4d_tpu.train.optim import build_lr_schedule, param_label_fn
+from graph_detr4d_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    build_train_step,
+)
+from graph_detr4d_tpu.parallel.step import init_state
+from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+CFG = tiny_test_config()
+
+
+def test_lr_schedule_shape():
+    tc = TrainConfig(lr=2e-4, warmup_iters=500, total_steps=10_000)
+    sched = build_lr_schedule(tc)
+    assert abs(float(sched(0)) - 2e-4 / 3) / 2e-4 < 0.01  # warmup start 1/3
+    assert abs(float(sched(500)) - 2e-4) / 2e-4 < 0.01  # warmup done
+    assert float(sched(10_000)) < 2e-4 * 2e-3  # ~min_lr at end
+    # monotone decrease after warmup
+    vals = [float(sched(s)) for s in range(600, 10_000, 500)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_param_labels():
+    class P:  # fake DictKey
+        def __init__(self, key):
+            self.key = key
+
+    assert param_label_fn((P("backbone"), P("stem_conv")), None) == "frozen"
+    assert param_label_fn((P("backbone"), P("layer1_block0")), None) == "frozen"
+    assert param_label_fn((P("backbone"), P("layer3_block0")), None) == "backbone"
+    assert param_label_fn((P("head"), P("cls_branch0")), None) == "main"
+
+
+def test_two_train_steps_decrease_loss_on_fixed_batch():
+    model = GraphDETR4D(CFG)
+    mesh = make_mesh(jax.devices()[:2])
+    state = replicate(init_state(model, CFG, jax.random.PRNGKey(0)), mesh)
+    step_fn = build_train_step(model, CFG, mesh)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(CFG, batch_size=2, num_gt=4).items()
+    }
+    batch = shard_batch(batch, mesh)
+    rng = jax.device_put(
+        jax.random.PRNGKey(1),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    losses = []
+    for _ in range(4):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(metrics["grad_norm"]))
+    # same batch repeatedly -> loss must go down overall
+    assert losses[-1] < losses[0]
+    # frozen stem params unchanged
+    stem0 = np.asarray(
+        init_state(model, CFG, jax.random.PRNGKey(0)).params["backbone"][
+            "stem_conv"
+        ]["kernel"]
+    )
+    stem1 = np.asarray(state.params["backbone"]["stem_conv"]["kernel"])
+    np.testing.assert_array_equal(stem0, stem1)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from graph_detr4d_tpu.train.checkpoint import CheckpointManager
+
+    model = GraphDETR4D(CFG)
+    state = init_state(model, CFG, jax.random.PRNGKey(0))
+    state_np = jax.tree.map(np.asarray, state)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), CFG)
+    mgr.save(10, state_np, metrics={"loss": 1.5})
+    assert mgr.latest_step() == 10
+
+    template = jax.tree.map(np.zeros_like, state_np)
+    restored = mgr.restore(template)
+    q0 = state_np.params["head"]["query_embedding"]
+    q1 = restored.params["head"]["query_embedding"]
+    np.testing.assert_array_equal(q0, q1)
+
+    params = mgr.load_weights(
+        jax.tree.map(np.zeros_like, state_np.params)
+    )
+    np.testing.assert_array_equal(
+        q0, params["head"]["query_embedding"]
+    )

@@ -1,0 +1,135 @@
+"""Eval CLI (reference: tools/test.py): run inference over the val set,
+decode NMS-free detections, compute standalone nuScenes metrics
+(mAP/NDS), optionally dump results json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ann-file", required=False, default=None)
+    p.add_argument("--checkpoint", default=None, help="orbax ckpt dir")
+    p.add_argument("--work-dir", default="work_dirs/detr4d")
+    p.add_argument("--img-h", type=int, default=320)
+    p.add_argument("--img-w", type=int, default=800)
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--out", default=None, help="write results json here")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from graph_detr4d_tpu.config import ModelConfig, tiny_test_config
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.parallel.step import init_state, build_eval_step
+    from graph_detr4d_tpu.train.checkpoint import CheckpointManager
+    from graph_detr4d_tpu.eval import DetectionEvaluator
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    cfg = tiny_test_config() if args.tiny else ModelConfig(
+        img_size=(args.img_h, args.img_w)
+    )
+    model = GraphDETR4D(cfg)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        mngr = CheckpointManager(args.checkpoint, cfg)
+        params = mngr.load_weights(jax.tree.map(np.asarray, state.params))
+        if params is not None:
+            state = state.replace(params=params)
+            print(f"loaded weights from {args.checkpoint}")
+    eval_step = build_eval_step(model, cfg)
+
+    evaluator = DetectionEvaluator()
+    results = []
+
+    def run_batch(batch, gt_bboxes, gt_labels, gt_valid, tokens):
+        det = eval_step(
+            state.params,
+            state.batch_stats,
+            {k: jnp.asarray(v) for k, v in batch.items()},
+        )
+        boxes = np.asarray(det.bboxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        valid = np.asarray(det.valid)
+        for b in range(boxes.shape[0]):
+            keep = valid[b]
+            gkeep = gt_valid[b]
+            evaluator.add_sample(
+                boxes[b][keep],
+                labels[b][keep],
+                scores[b][keep],
+                gt_bboxes[b][gkeep],
+                gt_labels[b][gkeep],
+            )
+            results.append(
+                {
+                    "token": tokens[b],
+                    "boxes": boxes[b][keep].tolist(),
+                    "scores": scores[b][keep].tolist(),
+                    "labels": labels[b][keep].tolist(),
+                }
+            )
+
+    if args.synthetic or args.ann_file is None:
+        n = args.max_samples or 4
+        for i in range(n):
+            batch = synthetic_batch(cfg, 1, seed=100 + i)
+            run_batch(
+                {
+                    "images": batch["images"],
+                    "lidar2img": batch["lidar2img"],
+                },
+                batch["gt_bboxes"],
+                batch["gt_labels"],
+                batch["gt_valid"],
+                [f"synthetic-{i}"],
+            )
+    else:
+        from graph_detr4d_tpu.data.nuscenes import NuScenesSweepDataset
+        from graph_detr4d_tpu.data.pipeline import build_batch
+
+        ds = NuScenesSweepDataset(
+            args.ann_file, test_mode=True, max_gt=cfg.loss.max_gt
+        )
+        n = min(args.max_samples or len(ds), len(ds))
+        for i in range(n):
+            s = ds.sample(i)
+            batch = build_batch([s], cfg.img_size, training=False)
+            run_batch(
+                {
+                    "images": batch["images"],
+                    "lidar2img": batch["lidar2img"],
+                },
+                batch["gt_bboxes"],
+                batch["gt_labels"],
+                batch["gt_valid"],
+                [s["token"]],
+            )
+
+    metrics = evaluator.evaluate()
+    print(json.dumps(metrics, indent=2))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"results": results, "metrics": metrics}, f)
+
+
+if __name__ == "__main__":
+    main()

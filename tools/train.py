@@ -1,0 +1,106 @@
+"""Train CLI (reference: tools/train.py + dist_train.sh).
+
+  python tools/train.py --ann-file data/nuscenes/..._train.pkl \
+      --work-dir work_dirs/detr4d_r50 [--synthetic] [--resume]
+
+The reference launches one process per GPU via torch.distributed; here one
+process drives the whole mesh (single-controller pjit). Use --synthetic to
+train on generated data (smoke/perf runs without the dataset).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ann-file", default=None, help="nuScenes infos pkl")
+    p.add_argument("--work-dir", default="work_dirs/detr4d")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--total-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None, help="global")
+    p.add_argument("--img-h", type=int, default=320)
+    p.add_argument("--img-w", type=int, default=800)
+    p.add_argument("--tiny", action="store_true", help="tiny debug config")
+    p.add_argument("--load-interval", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    import numpy as np
+    from graph_detr4d_tpu.config import ModelConfig, tiny_test_config
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.train.trainer import Trainer
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    if args.tiny:
+        cfg = tiny_test_config()
+    else:
+        cfg = ModelConfig(img_size=(args.img_h, args.img_w))
+    n_dev = len(jax.devices())
+    batch_size = args.batch_size or n_dev
+    model = GraphDETR4D(cfg)
+    total = args.total_steps or cfg.train.total_steps
+
+    if args.synthetic or args.ann_file is None:
+        def batches():
+            seed = args.seed
+            while True:
+                seed += 1
+                yield {
+                    k: np.asarray(v)
+                    for k, v in synthetic_batch(
+                        cfg, batch_size, seed=seed
+                    ).items()
+                }
+    else:
+        from graph_detr4d_tpu.data.nuscenes import NuScenesSweepDataset
+        from graph_detr4d_tpu.data.pipeline import build_batch
+
+        ds = NuScenesSweepDataset(
+            args.ann_file,
+            load_interval=args.load_interval,
+            max_gt=cfg.loss.max_gt,
+            seed=args.seed,
+        )
+
+        def batches():
+            rng = np.random.RandomState(args.seed)
+            order = rng.permutation(len(ds))
+            i = 0
+            while True:
+                idxs = []
+                for _ in range(batch_size):
+                    if i >= len(order):
+                        order = rng.permutation(len(ds))
+                        i = 0
+                    idxs.append(int(order[i]))
+                    i += 1
+                samples = [ds.sample(j) for j in idxs]
+                yield build_batch(
+                    samples, cfg.img_size, training=True, rng=rng
+                )
+
+    trainer = Trainer(
+        model, cfg, args.work_dir, batches(), seed=args.seed
+    )
+    if args.resume:
+        step = trainer.resume()
+        print(f"resumed at step {step}")
+    trainer.fit(total)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,295 @@
+"""Cross-attention variants.
+
+* Detr3DCrossAtten — the original DETR3D attention: one 3D reference point
+  per query, bilinear-sampled in every camera and FPN level, combined by a
+  sigmoid weight over (cams x levels x points) (reference:
+  models/utils/detr3d_transformer.py:229-438; note grid_sample there uses
+  [-1, 1] locations, i.e. the same align_corners=False bilinear our MSDA
+  op implements, and masks use the [-1,1] bounds :395-411).
+
+* Deform3DCrossAttnMP — graph multi-point variant: in addition to the
+  center-point deformable sampling (same math as Deform3DCrossAttn), 8
+  precomputed graph-neighbor reference points per query are projected and
+  sampled WITHOUT learned offsets using num_points//4 points, per-camera
+  gated, summed over cameras and neighbors, then fused with the center
+  branch through a learned global 2-way softmax weight
+  (models/utils/deform3d_cross_attn_multi_point.py:34-453; neighbor branch
+  :369-439, fusion :436-439).
+"""
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.msda import multi_scale_deformable_attention
+from ..geometry.projection import denormalize_points
+from ..utils.math import inverse_sigmoid
+from .attention import _offset_bias_init
+
+
+def project_to_cams(pts, lidar2img, img_shape, eps=1e-5):
+    """pts (B, S, 3) metric -> loc (B, N, S, 2) in [0,1], mask (B, N, S)."""
+    img_h, img_w = img_shape
+    hom = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+    cam = jnp.einsum("bnij,bsj->bnsi", lidar2img, hom)
+    z = cam[..., 2:3]
+    xy = cam[..., 0:2] / jnp.maximum(z, eps)
+    loc = xy / jnp.asarray([img_w, img_h], dtype=xy.dtype)
+    valid = (
+        (z > eps)
+        & (loc[..., 0:1] > 0.0)
+        & (loc[..., 0:1] < 1.0)
+        & (loc[..., 1:2] > 0.0)
+        & (loc[..., 1:2] < 1.0)
+    )[..., 0]
+    return loc, valid.astype(jnp.float32)
+
+
+class PositionEncoderMLP(nn.Module):
+    """Linear-LN-ReLU x2 positional MLP shared by all variants."""
+
+    embed_dims: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref01):
+        x = inverse_sigmoid(ref01.astype(jnp.float32)).astype(self.dtype)
+        x = nn.Dense(self.embed_dims, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.embed_dims, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class Detr3DCrossAtten(nn.Module):
+    embed_dims: int = 256
+    num_levels: int = 4
+    num_points: int = 1
+    num_cams: int = 6
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query,  # (B, Q, C)
+        value_levels: Sequence[jnp.ndarray],  # L x (B, N, H, W, C)
+        query_pos,
+        reference_points,  # (B, Q, 3) in [0,1]
+        lidar2img,  # (B, N, 4, 4)
+        img_shape,
+        deterministic: bool = True,
+    ):
+        B, Q, C = query.shape
+        N, L, P = self.num_cams, self.num_levels, self.num_points
+        residual = query
+        q = query + query_pos
+
+        w = nn.Dense(
+            N * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(q).reshape(B, Q, N, P, L)
+        w = jax.nn.sigmoid(w.astype(jnp.float32))
+
+        ref_metric = denormalize_points(
+            reference_points.astype(jnp.float32), self.pc_range
+        )
+        loc, mask = project_to_cams(ref_metric, lidar2img, img_shape)
+        # (B, N, Q) -> weight mask over all (P, L)
+        w = w * mask.transpose(0, 2, 1)[..., None, None]
+
+        # sample each level at the single projected point per cam
+        samples = []
+        for lvl, feat in enumerate(value_levels):
+            _, _, h, wd, _ = feat.shape
+            v = feat.reshape(B * N, h, wd, 1, C)
+            ll = loc.reshape(B * N, Q, 1, 1, 1, 2).astype(self.dtype)
+            ones = jnp.ones((B * N, Q, 1, 1, 1), self.dtype)
+            s = multi_scale_deformable_attention([v], ll, ones)
+            samples.append(s.reshape(B, N, Q, C))
+        sampled = jnp.stack(samples, axis=-1)  # (B, N, Q, C, L)
+        sampled = jnp.nan_to_num(sampled)
+
+        # weighted sum over cams, points(=1), levels
+        wsum = w.sum(3)  # (B, Q, N, L)
+        out = jnp.einsum(
+            "bnqcl,bqnl->bqc", sampled.astype(jnp.float32), wsum
+        )
+        out = nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="output_proj",
+        )(out.astype(self.dtype))
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        pos_feat = PositionEncoderMLP(
+            C, dtype=self.dtype, name="position_encoder"
+        )(reference_points)
+        return out + residual + pos_feat
+
+
+class Deform3DCrossAttnMP(nn.Module):
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    num_cams: int = 12
+    num_neighbors: int = 8
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query,  # (B, Q, C)
+        value_levels,
+        query_pos,
+        reference_points,  # (B, Q*(1+num_neighbors), 3): center + neighbors
+        lidar2img,
+        img_shape,
+        deterministic: bool = True,
+    ):
+        B, QT, C = query.shape
+        Q = reference_points.shape[1] // (1 + self.num_neighbors)
+        assert QT == Q, (QT, Q)
+        HH, L, P, N, K = (
+            self.num_heads,
+            self.num_levels,
+            self.num_points,
+            self.num_cams,
+            self.num_neighbors,
+        )
+        hd = C // HH
+        residual = query
+        q = query + query_pos
+
+        ref_center = reference_points[:, :Q]
+        ref_neighbor = reference_points[:, Q:]  # (B, Q*K, 3)
+
+        cam_gate = nn.Dense(
+            N,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="cam_attention_weights",
+        )
+
+        vproj = nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="value_proj",
+        )
+        values = [
+            vproj(v).reshape(B * N, v.shape[2], v.shape[3], HH, hd)
+            for v in value_levels
+        ]
+
+        # ---- center branch: identical to Deform3DCrossAttn
+        offsets = nn.Dense(
+            HH * P * 3,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _offset_bias_init(HH, P), dtype
+            ),
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(q).reshape(B, Q, HH, 1, P, 3)
+        ref_metric = denormalize_points(
+            ref_center.astype(jnp.float32), self.pc_range
+        )
+        pts = ref_metric[:, :, None, None, None, :] + jnp.broadcast_to(
+            offsets.astype(jnp.float32), (B, Q, HH, L, P, 3)
+        )
+        loc, mask = project_to_cams(
+            pts.reshape(B, Q * HH * L * P, 3), lidar2img, img_shape
+        )
+        loc = loc.reshape(B * N, Q, HH, L, P, 2)
+        mask = mask.reshape(B, N, Q, HH, L, P)
+
+        attn = nn.Dense(
+            HH * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(q).reshape(B, Q, HH, L * P)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).reshape(
+            B, 1, Q, HH, L, P
+        ) * mask
+        center = multi_scale_deformable_attention(
+            values,
+            loc.astype(self.dtype),
+            attn.reshape(B * N, Q, HH, L, P).astype(self.dtype),
+        ).reshape(B, N, Q, C)
+        gate_c = jax.nn.sigmoid(
+            cam_gate(q).astype(jnp.float32)
+        ).transpose(0, 2, 1)[..., None]
+        center = (center.astype(jnp.float32) * gate_c).sum(1)  # (B, Q, C)
+
+        # ---- neighbor branch: no offsets, P//4 points (:369-433)
+        Pn = max(P // 4, 1)
+        qn = jnp.tile(q, (1, K, 1))  # (B, Q*K, C)
+        attn_n = nn.Dense(
+            HH * L * Pn,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights_neighbor",
+        )(qn).reshape(B, Q * K, HH, L * Pn)
+        ref_n = denormalize_points(
+            ref_neighbor.astype(jnp.float32), self.pc_range
+        )
+        pts_n = jnp.broadcast_to(
+            ref_n[:, :, None, None, None, :], (B, Q * K, HH, L, Pn, 3)
+        )
+        loc_n, mask_n = project_to_cams(
+            pts_n.reshape(B, Q * K * HH * L * Pn, 3), lidar2img, img_shape
+        )
+        loc_n = loc_n.reshape(B * N, Q * K, HH, L, Pn, 2)
+        mask_n = mask_n.reshape(B, N, Q * K, HH, L, Pn)
+        attn_n = jax.nn.softmax(attn_n.astype(jnp.float32), -1).reshape(
+            B, 1, Q * K, HH, L, Pn
+        ) * mask_n
+        nb = multi_scale_deformable_attention(
+            values,
+            loc_n.astype(self.dtype),
+            attn_n.reshape(B * N, Q * K, HH, L, Pn).astype(self.dtype),
+        ).reshape(B, N, Q * K, C)
+        gate_n = jax.nn.sigmoid(
+            cam_gate(qn).astype(jnp.float32)
+        ).transpose(0, 2, 1)[..., None]
+        nb = (nb.astype(jnp.float32) * gate_n).sum(1)  # (B, Q*K, C)
+        nb = nb.reshape(B, K, Q, C).sum(1)  # sum over neighbors
+
+        # ---- learned global 2-way fusion (:436-439)
+        fuse = nn.Dense(2, dtype=self.dtype, name="output_weight")(
+            jnp.concatenate([center, nb], -1).astype(self.dtype)
+        )
+        fuse = jax.nn.softmax(
+            fuse.astype(jnp.float32).sum(axis=1), axis=-1
+        )  # (B, 2)
+        out = (
+            center * fuse[:, None, 0:1] + nb * fuse[:, None, 1:2]
+        )
+
+        out = nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="output_proj",
+        )(out.astype(self.dtype))
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        pos_feat = PositionEncoderMLP(
+            C, dtype=self.dtype, name="position_encoder"
+        )(ref_center)
+        return out + residual + pos_feat

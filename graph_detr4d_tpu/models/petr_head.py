@@ -1,0 +1,233 @@
+"""PETR / PETRv2 heads: dense-attention multi-view 3D detection.
+
+Parity targets:
+  * PETRHead (models/dense_heads/petr_head.py:44-733): single FPN level,
+    per-pixel 3D coordinate position embedding (LID or linear depth bins,
+    position_range not pc_range), queries from a learned (num_query, 3)
+    uniform reference-point embedding whose sine embedding feeds a small
+    MLP (:265-270, pos2posemb3d :29-42); encoder-free decoder with dense
+    cross-attention over all camera pixels; shared cls/reg branches across
+    layers; decode adds to inverse-sigmoid reference (no iterative refine).
+  * PETRv2Head (petrv2_head.py:91-815): temporal tokens are simply the 12
+    cameras' pixels; `with_time=True` divides predicted velocity by the
+    mean timestamp delta between frames (:488-510).
+
+Dense attention is the trivially XLA-friendly path — all tokens live in one
+(B, N*H*W, C) einsum-attention, no gathers at all.
+"""
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import HeadConfig
+from .positional import sine_positional_encoding_3d, lid_depth_bins
+from .head import ClsBranch, RegBranch
+from ..utils.math import inverse_sigmoid
+
+
+def pos2posemb3d(pos, num_pos_feats=128, temperature=10000.0):
+    """Sine embedding of normalized 3D positions (petr_head.py:29-42)."""
+    scale = 2 * math.pi
+    pos = pos * scale
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+
+    def enc(p):
+        p = p[..., None] / dim_t
+        return jnp.stack(
+            [jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1
+        ).reshape(*p.shape[:-1], num_pos_feats)
+
+    return jnp.concatenate(
+        [enc(pos[..., 0]), enc(pos[..., 1]), enc(pos[..., 2])], axis=-1
+    )
+
+
+class PETRDecoderLayer(nn.Module):
+    embed_dims: int
+    num_heads: int
+    ffn_dims: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, query_pos, memory, key_pos, deterministic=True):
+        q = query + query_pos
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout,
+            dtype=self.dtype,
+            name="self_attn",
+        )(q, q, query, deterministic=deterministic)
+        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            query
+            + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        )
+        ca = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(
+            query + query_pos,
+            memory + key_pos,
+            memory,
+            deterministic=deterministic,
+        )
+        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+            query
+            + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+        )
+        y = nn.Dense(self.ffn_dims, dtype=self.dtype)(query)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(self.embed_dims, dtype=self.dtype)(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(query + y)
+
+
+class PETRHead(nn.Module):
+    cfg: HeadConfig
+    img_shape: Tuple[int, int]
+    position_range: Tuple[float, ...] = (-65.0, -65.0, -8.0, 65.0, 65.0, 8.0)
+    lid: bool = False
+    with_time: bool = False  # PETRv2 (petrv2_head.py:488-510)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        mlvl_feats: Sequence[jnp.ndarray],  # uses level 0: (B, N, H, W, Cin)
+        lidar2img: jnp.ndarray,
+        deterministic: bool = True,
+        mean_time_stamp: Optional[jnp.ndarray] = None,  # (B,) seconds
+    ):
+        cfg = self.cfg
+        C = cfg.embed_dims
+        feat = mlvl_feats[0]
+        B, N, H, W, _ = feat.shape
+        pad_h, pad_w = self.img_shape
+
+        x = nn.Conv(C, (1, 1), dtype=self.dtype, name="input_proj")(feat)
+
+        # ---- per-pixel 3D coordinate embedding (petr_head.py:282-345)
+        eps = 1e-5
+        coords_h = jnp.arange(H, dtype=jnp.float32) * pad_h / H
+        coords_w = jnp.arange(W, dtype=jnp.float32) * pad_w / W
+        D = cfg.depth_num
+        if self.lid:
+            coords_d = lid_depth_bins(
+                D, cfg.depth_start, self.position_range[3]
+            )
+        else:
+            bin_size = (
+                self.position_range[3] - cfg.depth_start
+            ) / D
+            coords_d = cfg.depth_start + bin_size * jnp.arange(
+                D, dtype=jnp.float32
+            )
+        d = jnp.maximum(coords_d, eps)[None, None, :]
+        xs = coords_w[None, :, None]
+        ys = coords_h[:, None, None]
+        ones = jnp.ones((H, W, D), jnp.float32)
+        coords = jnp.stack(
+            [
+                jnp.broadcast_to(xs * d, (H, W, D)),
+                jnp.broadcast_to(ys * d, (H, W, D)),
+                d * ones,
+                ones,
+            ],
+            -1,
+        )
+        img2lidar = jnp.linalg.inv(lidar2img.astype(jnp.float32))
+        p3d = jnp.einsum("bnij,hwdj->bnhwdi", img2lidar, coords)[..., :3]
+        pr = self.position_range
+        lo = jnp.asarray(pr[:3])
+        hi = jnp.asarray(pr[3:])
+        p3d = (p3d - lo) / (hi - lo)
+        p3d = inverse_sigmoid(p3d).reshape(B, N, H, W, D * 3)
+        pos3d = nn.Sequential(
+            [
+                nn.Dense(C * 4, dtype=self.dtype),
+                nn.relu,
+                nn.Dense(C, dtype=self.dtype),
+            ],
+            name="position_encoder",
+        )(p3d.astype(self.dtype))
+
+        mask = jnp.zeros((B, N, H, W), jnp.float32)
+        sin = sine_positional_encoding_3d(
+            mask, num_feats=cfg.pe_num_feats, dtype=jnp.float32
+        )
+        sin = nn.Sequential(
+            [
+                nn.Dense(C * 4, dtype=self.dtype),
+                nn.relu,
+                nn.Dense(C, dtype=self.dtype),
+            ],
+            name="adapt_pos3d",
+        )(sin.astype(self.dtype))
+        key_pos = (pos3d + sin).reshape(B, N * H * W, C)
+        memory = x.reshape(B, N * H * W, C)
+
+        # ---- queries (petr_head.py:265-276)
+        ref = self.param(
+            "reference_points",
+            nn.initializers.uniform(scale=1.0),
+            (cfg.num_query, 3),
+        )
+        ref = jnp.broadcast_to(ref[None], (B, cfg.num_query, 3))
+        query_pos = nn.Sequential(
+            [
+                nn.Dense(C, dtype=self.dtype),
+                nn.relu,
+                nn.Dense(C, dtype=self.dtype),
+            ],
+            name="query_embedding",
+        )(pos2posemb3d(ref, cfg.pe_num_feats).astype(self.dtype))
+        query = jnp.zeros((B, cfg.num_query, C), self.dtype)
+
+        # ---- decoder + shared branches (no iterative refinement)
+        cls_branch = ClsBranch(
+            C, cfg.num_classes, cfg.num_reg_fcs, dtype=self.dtype,
+            name="cls_branch",
+        )
+        reg_branch = RegBranch(
+            C, cfg.code_size, cfg.num_reg_fcs, dtype=self.dtype,
+            name="reg_branch",
+        )
+        ref_is = inverse_sigmoid(ref.astype(jnp.float32))
+        cls_scores, bbox_preds = [], []
+        for lid_ in range(cfg.num_decoder_layers):
+            query = PETRDecoderLayer(
+                embed_dims=C,
+                num_heads=cfg.num_heads,
+                ffn_dims=cfg.ffn_dims,
+                dropout=cfg.dropout,
+                dtype=self.dtype,
+                name=f"layer{lid_}",
+            )(query, query_pos, memory, key_pos, deterministic)
+            score = cls_branch(query).astype(jnp.float32)
+            tmp = reg_branch(query).astype(jnp.float32)
+            xy = jax.nn.sigmoid(tmp[..., 0:2] + ref_is[..., 0:2])
+            z = jax.nn.sigmoid(tmp[..., 4:5] + ref_is[..., 2:3])
+            cx = xy[..., 0:1] * (pr[3] - pr[0]) + pr[0]
+            cy = xy[..., 1:2] * (pr[4] - pr[1]) + pr[1]
+            cz = z * (pr[5] - pr[2]) + pr[2]
+            vel = tmp[..., 8:10]
+            if self.with_time and mean_time_stamp is not None:
+                vel = vel / mean_time_stamp[:, None, None]
+            coord = jnp.concatenate(
+                [cx, cy, tmp[..., 2:4], cz, tmp[..., 5:8], vel], axis=-1
+            )
+            cls_scores.append(score)
+            bbox_preds.append(coord)
+
+        return {
+            "all_cls_scores": jnp.stack(cls_scores),
+            "all_bbox_preds": jnp.stack(bbox_preds),
+        }

@@ -1,0 +1,122 @@
+"""Model variants: VoVNet, DETR3D single-point attention, multi-point
+graph attention, PETR/PETRv2 heads."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graph_detr4d_tpu.config import HeadConfig
+from graph_detr4d_tpu.models.vovnet import VoVNet
+from graph_detr4d_tpu.models.attention_variants import (
+    Detr3DCrossAtten,
+    Deform3DCrossAttnMP,
+)
+from graph_detr4d_tpu.models.petr_head import PETRHead, pos2posemb3d
+
+RNG = np.random.RandomState(0)
+PC = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+
+
+def feats_fixture(B=1, N=3, C=32, shapes=((16, 32), (8, 16))):
+    return [
+        jnp.asarray(RNG.randn(B, N, h, w, C), jnp.float32)
+        for h, w in shapes
+    ]
+
+
+def rig(B=1, N=3, H=64, W=128):
+    from graph_detr4d_tpu.data.synthetic import synthetic_camera_rig
+
+    return jnp.asarray(
+        np.stack([synthetic_camera_rig(N, (H, W), s) for s in range(B)]),
+        jnp.float32,
+    )
+
+
+def test_vovnet_shapes():
+    x = jnp.zeros((2, 64, 128, 3))
+    net = VoVNet(spec_name="V-19-slim-eSE")
+    vs = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(vs, x)
+    assert [o.shape for o in outs] == [
+        (2, 16, 32, 112),
+        (2, 8, 16, 256),
+        (2, 4, 8, 384),
+        (2, 2, 4, 512),
+    ]
+
+
+def test_detr3d_cross_atten():
+    B, N, Q, C = 1, 3, 10, 32
+    attn = Detr3DCrossAtten(
+        embed_dims=C, num_levels=2, num_points=1, num_cams=N, pc_range=PC
+    )
+    q = jnp.asarray(RNG.randn(B, Q, C), jnp.float32)
+    ref = jnp.asarray(RNG.rand(B, Q, 3), jnp.float32)
+    feats = feats_fixture(B, N, C)
+    vs = attn.init(jax.random.PRNGKey(0), q, feats, q, ref, rig(B, N), (64, 128))
+    out = attn.apply(vs, q, feats, q, ref, rig(B, N), (64, 128))
+    assert out.shape == (B, Q, C)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_deform3d_cross_attn_mp():
+    B, N, Q, C, K = 1, 3, 6, 32, 8
+    attn = Deform3DCrossAttnMP(
+        embed_dims=C,
+        num_heads=4,
+        num_levels=2,
+        num_points=4,
+        num_cams=N,
+        num_neighbors=K,
+        pc_range=PC,
+    )
+    q = jnp.asarray(RNG.randn(B, Q, C), jnp.float32)
+    # center + 8 neighbor reference points per query
+    ref = jnp.asarray(RNG.rand(B, Q * (1 + K), 3), jnp.float32)
+    feats = feats_fixture(B, N, C)
+    vs = attn.init(
+        jax.random.PRNGKey(0), q, feats, q, ref, rig(B, N), (64, 128)
+    )
+    out = attn.apply(vs, q, feats, q, ref, rig(B, N), (64, 128))
+    assert out.shape == (B, Q, C)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_pos2posemb3d():
+    pos = jnp.asarray(RNG.rand(4, 3), jnp.float32)
+    emb = pos2posemb3d(pos, 16)
+    assert emb.shape == (4, 48)
+    assert bool(jnp.isfinite(emb).all())
+
+
+def test_petr_head_forward_and_time():
+    cfg = HeadConfig(
+        num_query=12,
+        embed_dims=32,
+        num_decoder_layers=2,
+        num_heads=4,
+        num_cams=3,
+        ffn_dims=64,
+        depth_num=4,
+        pe_num_feats=16,
+        num_classes=10,
+    )
+    head = PETRHead(
+        cfg=cfg, img_shape=(64, 128), with_time=True, dtype=jnp.float32
+    )
+    feats = feats_fixture(1, 3, 32, shapes=((8, 16),))
+    l2i = rig(1, 3)
+    ts = jnp.asarray([0.5])
+    vs = head.init(
+        jax.random.PRNGKey(0), feats, l2i, True, ts
+    )
+    out = head.apply(vs, feats, l2i, True, ts)
+    assert out["all_cls_scores"].shape == (2, 1, 12, 10)
+    assert out["all_bbox_preds"].shape == (2, 1, 12, 10)
+    assert bool(jnp.isfinite(out["all_bbox_preds"]).all())
+    # with_time halves... (divides by 0.5 => doubles) velocity vs raw
+    out2 = head.apply(vs, feats, l2i, True, jnp.asarray([1.0]))
+    v1 = np.asarray(out["all_bbox_preds"])[..., 8:10]
+    v2 = np.asarray(out2["all_bbox_preds"])[..., 8:10]
+    np.testing.assert_allclose(v1, 2 * v2, rtol=1e-4, atol=1e-5)

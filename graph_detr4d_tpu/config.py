@@ -70,6 +70,10 @@ class HeadConfig:
     with_detach: bool = True  # stop-gradient past 6 cams (:512-516)
     scale_pred: bool = False  # depth_factors scaling (:592-595)
     num_frame_cams: int = 6  # cameras per temporal frame
+    # H-DETR hybrid matching (h_detr3d_head_pe.py:40-693); 0 = disabled
+    num_query_one2many: int = 0
+    k_one2many: int = 6
+    lambda_one2many: float = 2.0
 
 
 @dataclass(frozen=True)

@@ -119,3 +119,43 @@ def detr3d_loss(
     metrics["num_pos"] = npos
     metrics["loss"] = total
     return total, metrics
+
+
+def hybrid_detr3d_loss(
+    preds: dict,
+    gt_bboxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    loss_cfg: LossConfig,
+    head_cfg: HeadConfig,
+    axis_name: Optional[str] = None,
+):
+    """H-DETR hybrid loss: one2one set loss + lambda * one2many set loss
+    with GT repeated k_one2many times (h_detr3d_head_pe.py:616-668)."""
+    total, metrics = detr3d_loss(
+        preds, gt_bboxes, gt_labels, gt_valid, loss_cfg, head_cfg, axis_name
+    )
+    k = head_cfg.k_one2many
+    rep_bboxes = jnp.tile(gt_bboxes, (1, k, 1))
+    rep_labels = jnp.tile(gt_labels, (1, k))
+    rep_valid = jnp.tile(gt_valid, (1, k))
+    o2m_preds = {
+        "all_cls_scores": preds["all_cls_scores_one2many"],
+        "all_bbox_preds": preds["all_bbox_preds_one2many"],
+    }
+    o2m_total, o2m_metrics = detr3d_loss(
+        o2m_preds,
+        rep_bboxes,
+        rep_labels,
+        rep_valid,
+        loss_cfg,
+        head_cfg,
+        axis_name,
+    )
+    lam = head_cfg.lambda_one2many
+    total = total + lam * o2m_total
+    for key, v in o2m_metrics.items():
+        if key.endswith("loss_cls") or key.endswith("loss_bbox"):
+            metrics[f"o2m.{key}"] = lam * v
+    metrics["loss"] = total
+    return total, metrics

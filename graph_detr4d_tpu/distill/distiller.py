@@ -1,0 +1,179 @@
+"""Teacher->student distillation harness.
+
+Parity with Detr4D_Distiller / MixDistill
+(distillation/distillers/detr4d_distiller.py:12-179, mix_distill.py:12-116)
+and the distill runner's optimizer scope (apis/mmdet_distill_train.py:88-92:
+only student + lateral convs train — here the teacher's params simply never
+enter the grad computation, they are closed over under stop_gradient).
+
+Flow per step (detr4d_distiller.py:82-119):
+  teacher feats+outs (frozen) -> student feats+outs -> student GT loss
+  + per-stage instance distill (teacher sigmoid scores + boxes as soft GT,
+    matched by the soft Hungarian)
+  + feature distill (per-level MSE after 1x1 lateral conv).
+MixDistill additionally reruns the student decoder with the teacher's query
+embeddings and distills on those guided outputs (mix_distill.py:102,
+detr3d_head_pe.py:617-671).
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import ModelConfig
+from ..core.losses import detr3d_loss
+from ..geometry.boxes import denormalize_bbox, normalize_bbox
+from .losses import (
+    bce_cost_matrix,
+    soft_binary_cross_entropy,
+    match_soft_targets,
+    feat_distill_loss,
+)
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    cls_distill_weight: float = 1.0
+    reg_distill_weight: float = 0.25
+    feat_distill_weight: float = 1.0
+    feat_distill_kind: str = "vanilla"  # or 'attention'
+    match_cls_weight: float = 1.0
+    match_reg_weight: float = 0.25
+    reweight_score: bool = False  # teacher max-score reweights reg loss
+    use_feat_distill: bool = True
+    use_instance_distill: bool = True
+
+
+class Distiller(nn.Module):
+    """Student + per-level 1x1 lateral adapters (the trainable scope)."""
+
+    student_cfg: ModelConfig
+    teacher_feat_channels: int = 256
+
+    def setup(self):
+        from ..models import GraphDETR4D
+
+        self.student = GraphDETR4D(self.student_cfg)
+        self.lateral_convs = [
+            nn.Conv(
+                self.teacher_feat_channels,
+                (1, 1),
+                name=f"lateral{i}",
+            )
+            for i in range(self.student_cfg.neck.num_outs)
+        ]
+
+    def __call__(
+        self,
+        images,
+        lidar2img,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        feats = self.student.extract_feats(images, train, rng)
+        outs = self.student.head(feats, lidar2img, deterministic=not train)
+        adapted = [
+            conv(f) for conv, f in zip(self.lateral_convs, feats)
+        ]
+        return outs, adapted
+
+
+def instance_distill_loss(
+    teacher_outs: dict,
+    student_outs: dict,
+    pc_range,
+    dcfg: DistillConfig,
+):
+    """Per-decoder-stage soft distillation (detr4d_distiller.py:143-168 +
+    detr3d_head_pe.py loss_distill_single:851-1011)."""
+    t_cls = jax.lax.stop_gradient(teacher_outs["all_cls_scores"])
+    t_bbox = jax.lax.stop_gradient(teacher_outs["all_bbox_preds"])
+    s_cls = student_outs["all_cls_scores"]
+    s_bbox = student_outs["all_bbox_preds"]
+    stages = s_cls.shape[0]
+    total_cls, total_reg = 0.0, 0.0
+    for st in range(stages):
+
+        def per_image(sc, sb, tc, tb):
+            t_scores = jax.nn.sigmoid(tc.astype(jnp.float32))
+            t_codes = tb.astype(jnp.float32)
+            t_for_s = match_soft_targets(
+                sc,
+                sb,
+                t_scores,
+                t_codes,
+                cls_weight=dcfg.match_cls_weight,
+                reg_weight=dcfg.match_reg_weight,
+            )
+            Qs = sc.shape[0]
+            # soft labels per student query (matched teacher row)
+            soft = jnp.zeros((Qs, sc.shape[-1]), jnp.float32)
+            soft = soft.at[t_for_s].set(t_scores)
+            w = jnp.zeros((Qs,), jnp.float32).at[t_for_s].set(1.0)
+            codes_t = jnp.zeros_like(sb, dtype=jnp.float32)
+            codes_t = codes_t.at[t_for_s].set(t_codes)
+            avg = jnp.maximum(w.sum(), 1.0)
+            lc = soft_binary_cross_entropy(sc, soft, w, avg)
+            rw = w
+            if dcfg.reweight_score:
+                rw = w * jnp.zeros((Qs,)).at[t_for_s].set(
+                    t_scores.max(-1)
+                )
+            lr = (
+                jnp.abs(sb.astype(jnp.float32) - codes_t).sum(-1) * rw
+            ).sum() / avg
+            return lc, lr
+
+        lc, lr = jax.vmap(per_image)(
+            s_cls[st], s_bbox[st], t_cls[st], t_bbox[st]
+        )
+        total_cls = total_cls + lc.mean()
+        total_reg = total_reg + lr.mean()
+    return (
+        dcfg.cls_distill_weight * total_cls,
+        dcfg.reg_distill_weight * total_reg,
+    )
+
+
+def distill_loss(
+    student_outs: dict,
+    student_adapted_feats: Sequence[jnp.ndarray],
+    teacher_outs: dict,
+    teacher_feats: Sequence[jnp.ndarray],
+    gt_bboxes,
+    gt_labels,
+    gt_valid,
+    cfg: ModelConfig,
+    dcfg: DistillConfig,
+    axis_name: Optional[str] = None,
+):
+    """Total distillation training loss + metrics."""
+    total, metrics = detr3d_loss(
+        student_outs,
+        gt_bboxes,
+        gt_labels,
+        gt_valid,
+        cfg.loss,
+        cfg.head,
+        axis_name,
+    )
+    if dcfg.use_instance_distill:
+        lc, lr = instance_distill_loss(
+            teacher_outs, student_outs, cfg.head.pc_range, dcfg
+        )
+        metrics["distill_loss_cls"] = lc
+        metrics["distill_loss_reg"] = lr
+        total = total + lc + lr
+    if dcfg.use_feat_distill:
+        lf = dcfg.feat_distill_weight * feat_distill_loss(
+            [jax.lax.stop_gradient(f) for f in teacher_feats],
+            student_adapted_feats,
+            kind=dcfg.feat_distill_kind,
+        )
+        metrics["feat_loss"] = lf
+        total = total + lf
+    metrics["loss"] = total
+    return total, metrics

@@ -167,17 +167,26 @@ class Detr3DHeadPE(nn.Module):
             feats_pe.append(feat + pe)
 
         # ---- queries and initial reference points
+        # hybrid matching adds a one2many query group isolated from the
+        # one2one group by a block-diagonal self-attn mask
+        # (h_detr3d_head_pe.py:300-304)
+        num_q = cfg.num_query + cfg.num_query_one2many
         query_embed = self.param(
             "query_embedding",
             nn.initializers.normal(1.0),
-            (cfg.num_query, C * 2),
+            (num_q, C * 2),
         )
+        self_attn_mask = None
+        if cfg.num_query_one2many > 0:
+            g = jnp.zeros((num_q,), jnp.int32)
+            g = g.at[cfg.num_query :].set(1)
+            self_attn_mask = (g[:, None] == g[None, :])[None, None]
         query_pos, query = jnp.split(query_embed, 2, axis=-1)
         query_pos = jnp.broadcast_to(
-            query_pos[None].astype(self.dtype), (B, cfg.num_query, C)
+            query_pos[None].astype(self.dtype), (B, num_q, C)
         )
         query = jnp.broadcast_to(
-            query[None].astype(self.dtype), (B, cfg.num_query, C)
+            query[None].astype(self.dtype), (B, num_q, C)
         )
         reference_points = jax.nn.sigmoid(
             nn.Dense(
@@ -211,6 +220,7 @@ class Detr3DHeadPE(nn.Module):
                 lidar2img,
                 self.img_shape,
                 deterministic=deterministic,
+                self_attn_mask=self_attn_mask,
             )
 
             score = ClsBranch(
@@ -251,7 +261,14 @@ class Detr3DHeadPE(nn.Module):
                 jnp.concatenate([xy, z], axis=-1)
             )
 
-        return {
-            "all_cls_scores": jnp.stack(cls_scores),
-            "all_bbox_preds": jnp.stack(bbox_preds),
-        }
+        all_cls = jnp.stack(cls_scores)
+        all_bbox = jnp.stack(bbox_preds)
+        if cfg.num_query_one2many > 0:
+            # split output groups (h_detr3d_head_pe.py:361-364)
+            return {
+                "all_cls_scores": all_cls[:, :, : cfg.num_query],
+                "all_bbox_preds": all_bbox[:, :, : cfg.num_query],
+                "all_cls_scores_one2many": all_cls[:, :, cfg.num_query :],
+                "all_bbox_preds_one2many": all_bbox[:, :, cfg.num_query :],
+            }
+        return {"all_cls_scores": all_cls, "all_bbox_preds": all_bbox}

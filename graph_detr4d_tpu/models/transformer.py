@@ -61,6 +61,7 @@ class DecoderLayer(nn.Module):
         lidar2img,
         img_shape,
         deterministic=True,
+        self_attn_mask=None,  # (Q, Q) True = attend (H-DETR group mask)
     ):
         # self attention (q = k = query + pos, v = query) + residual
         q = query + query_pos
@@ -69,7 +70,7 @@ class DecoderLayer(nn.Module):
             dropout_rate=self.dropout,
             dtype=self.dtype,
             name="self_attn",
-        )(q, q, query, deterministic=deterministic)
+        )(q, q, query, mask=self_attn_mask, deterministic=deterministic)
         query = query + nn.Dropout(self.dropout)(
             attn, deterministic=deterministic
         )

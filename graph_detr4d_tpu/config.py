@@ -114,6 +114,10 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
+    # 'detr4d_pe' (Detr3DHeadPE, flagship) | 'petr' | 'petrv2'
+    head_type: str = "detr4d_pe"
+    backbone_type: str = "resnet"  # 'resnet' | 'vovnet'
+    vovnet_spec: str = "V-99-eSE"
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
     neck: NeckConfig = field(default_factory=NeckConfig)
     head: HeadConfig = field(default_factory=HeadConfig)

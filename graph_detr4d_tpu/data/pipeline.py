@@ -128,9 +128,13 @@ def apply_ida(
     img = img[y1:y2, x1:x2]
     if p.flip:
         img = img[:, ::-1]
+    # fold the 3x3 pixel-domain ida into the 4x4 projection: the image rows
+    # (0, 1) are numerators u*z, v*z and row 2 is z, so the pixel translation
+    # multiplies the z row (NOT the homogeneous column)
+    m3 = p.ida_mat()
     ida4 = np.eye(4, dtype=np.float64)
-    ida4[:2, :2] = p.ida_mat()[:2, :2]
-    ida4[:2, 3] = p.ida_mat()[:2, 2]
+    ida4[:2, :2] = m3[:2, :2]
+    ida4[:2, 2] = m3[:2, 2]
     return np.ascontiguousarray(img), (ida4 @ l2i).astype(np.float32)
 
 

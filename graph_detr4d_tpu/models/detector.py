@@ -27,13 +27,22 @@ class GraphDETR4D(nn.Module):
 
     def setup(self):
         dtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
-        self.backbone = ResNet(
-            depth=self.cfg.backbone.depth,
-            out_indices=self.cfg.backbone.out_indices,
-            stage_with_dcn=self.cfg.backbone.stage_with_dcn,
-            use_dcn=self.cfg.backbone.use_dcn,
-            dtype=dtype,
-        )
+        if self.cfg.backbone_type == "vovnet":
+            from .vovnet import VoVNet
+
+            self.backbone = VoVNet(
+                spec_name=self.cfg.vovnet_spec,
+                out_indices=self.cfg.backbone.out_indices,
+                dtype=dtype,
+            )
+        else:
+            self.backbone = ResNet(
+                depth=self.cfg.backbone.depth,
+                out_indices=self.cfg.backbone.out_indices,
+                stage_with_dcn=self.cfg.backbone.stage_with_dcn,
+                use_dcn=self.cfg.backbone.use_dcn,
+                dtype=dtype,
+            )
         self.neck = FPN(
             out_channels=self.cfg.neck.out_channels,
             start_level=self.cfg.neck.start_level,
@@ -41,9 +50,19 @@ class GraphDETR4D(nn.Module):
             relu_before_extra_convs=self.cfg.neck.relu_before_extra_convs,
             dtype=dtype,
         )
-        self.head = Detr3DHeadPE(
-            cfg=self.cfg.head, img_shape=self.cfg.img_size, dtype=dtype
-        )
+        if self.cfg.head_type in ("petr", "petrv2"):
+            from .petr_head import PETRHead
+
+            self.head = PETRHead(
+                cfg=self.cfg.head,
+                img_shape=self.cfg.img_size,
+                with_time=self.cfg.head_type == "petrv2",
+                dtype=dtype,
+            )
+        else:
+            self.head = Detr3DHeadPE(
+                cfg=self.cfg.head, img_shape=self.cfg.img_size, dtype=dtype
+            )
 
     def extract_feats(self, images, train: bool, rng: Optional[jax.Array]):
         """images (B, N, H, W, 3) -> L x (B, N, h, w, C)."""
@@ -65,8 +84,16 @@ class GraphDETR4D(nn.Module):
         train: bool = False,
         rng: Optional[jax.Array] = None,
         depth_factors: Optional[jnp.ndarray] = None,
+        mean_time_stamp: Optional[jnp.ndarray] = None,  # PETRv2 (B,)
     ):
         feats = self.extract_feats(images, train, rng)
+        if self.cfg.head_type in ("petr", "petrv2"):
+            return self.head(
+                feats,
+                lidar2img,
+                deterministic=not train,
+                mean_time_stamp=mean_time_stamp,
+            )
         return self.head(
             feats,
             lidar2img,

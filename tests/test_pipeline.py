@@ -1,0 +1,168 @@
+"""Host-side data pipeline: ida aug geometry, rot/scale consistency,
+normalize/pad, dataset reader on a synthetic infos pkl."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from graph_detr4d_tpu.data.pipeline import (
+    IdaAugParams,
+    sample_ida_params,
+    apply_ida,
+    normalize_image,
+    pad_to_divisor,
+    global_rot_scale_trans,
+    IMG_MEAN,
+    IMG_STD,
+)
+from graph_detr4d_tpu.geometry.transforms import (
+    lidar2img_from_calib,
+    quaternion_to_rotation_matrix,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def make_l2i(H=900, W=1600):
+    K = np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1.0]])
+    R = quaternion_to_rotation_matrix([1, 0, 0, 0])
+    return lidar2img_from_calib(K, R, [0.5, 0.2, -0.3]).astype(np.float64)
+
+
+def project(l2i, p):
+    h = l2i @ np.append(p, 1.0)
+    return h[:2] / h[2]
+
+
+def test_ida_projection_consistency():
+    """A 3D point's pixel after resize/crop/flip must equal the ida-composed
+    lidar2img projection."""
+    src = (RNG.rand(900, 1600, 3) * 255).astype(np.uint8)
+    l2i = make_l2i()
+    p3d = np.array([2.0, 1.0, 10.0])  # in front of this synthetic cam
+    uv0 = project(l2i, p3d)
+    assert 0 < uv0[0] < 1600 and 0 < uv0[1] < 900
+
+    for flip in (False, True):
+        p = IdaAugParams(resize=0.45, crop=(40, 20, 40 + 640, 20 + 320), flip=flip)
+        img, l2i_new = apply_ida(src, l2i, p)
+        assert img.shape[:2] == (320, 640)
+        uv1 = project(l2i_new.astype(np.float64), p3d)
+        expect = uv0 * p.resize - np.array([p.crop[0], p.crop[1]])
+        if flip:
+            expect[0] = (p.crop[2] - p.crop[0]) - 1 - expect[0]
+        np.testing.assert_allclose(uv1, expect, atol=1e-3)
+
+
+def test_sample_ida_params_eval_deterministic():
+    p1 = sample_ida_params(
+        np.random.RandomState(0), (900, 1600), (320, 800), training=False
+    )
+    p2 = sample_ida_params(
+        np.random.RandomState(9), (900, 1600), (320, 800), training=False
+    )
+    assert p1 == p2  # eval path ignores rng
+    assert not p1.flip
+    x1, y1, x2, y2 = p1.crop
+    assert (x2 - x1, y2 - y1) == (800, 320)
+
+
+def test_normalize_and_pad():
+    img = (RNG.rand(333, 500, 3) * 255).astype(np.float32)
+    out = normalize_image(img)
+    np.testing.assert_allclose(
+        out * IMG_STD + IMG_MEAN, img, rtol=1e-4, atol=1e-2
+    )
+    padded = pad_to_divisor(out, 32)
+    assert padded.shape[0] % 32 == 0 and padded.shape[1] % 32 == 0
+    assert np.all(padded[333:] == 0)
+
+
+def test_global_rot_scale_projection_consistency():
+    """After BEV rot/scale, transformed GT centers must project to the same
+    pixels as originals did through the original matrix."""
+    l2i = make_l2i()[None]  # (1, 4, 4)
+    boxes = np.zeros((3, 9), np.float32)
+    boxes[:, :3] = [[2, 1, 10], [0, -1, 12], [1, 0.5, 8]]
+    boxes[:, 3:6] = 2.0
+    rng = np.random.RandomState(3)
+    l2i_new, boxes_new = global_rot_scale_trans(l2i, boxes.copy(), rng)
+    for i in range(3):
+        uv_old = project(l2i[0].astype(np.float64), boxes[i, :3])
+        uv_new = project(l2i_new[0].astype(np.float64), boxes_new[i, :3])
+        np.testing.assert_allclose(uv_new, uv_old, atol=1e-2)
+
+
+def test_dataset_reader_synthetic_pkl(tmp_path):
+    """Build a fake infos pkl in the reference layout and read it."""
+    from graph_detr4d_tpu.data.nuscenes import (
+        NuScenesSweepDataset,
+        CAM_ORDER,
+    )
+
+    def cam_entry(seed):
+        r = np.random.RandomState(seed)
+        q = r.randn(4)
+        q /= np.linalg.norm(q)
+        return {
+            "data_path": f"/fake/img{seed}.jpg",
+            "cam_intrinsic": np.array(
+                [[1000.0, 0, 800], [0, 1000.0, 450], [0, 0, 1]]
+            ),
+            "sensor2lidar_rotation": quaternion_to_rotation_matrix(q),
+            "sensor2lidar_translation": r.randn(3),
+            "sensor2ego_rotation": q,
+            "sensor2ego_translation": r.randn(3),
+            "ego2global_rotation": [1, 0, 0, 0],
+            "ego2global_translation": [10.0, 5.0, 0.0],
+            "timestamp": 1e15 + seed,
+        }
+
+    infos = []
+    for i in range(4):
+        sweep = {
+            cam: {
+                **cam_entry(100 + i * 10 + j),
+                "ego2global_rotation": [1, 0, 0, 0],
+                "ego2global_translation": [9.0, 5.0, 0.0],
+            }
+            for j, cam in enumerate(CAM_ORDER)
+        }
+        infos.append(
+            {
+                "token": f"tok{i}",
+                "timestamp": 1e15 + i * 5e5,
+                "cams": {
+                    cam: cam_entry(i * 10 + j)
+                    for j, cam in enumerate(CAM_ORDER)
+                },
+                "sweeps": [sweep] * 5,
+                "lidar2ego_rotation": [1, 0, 0, 0],
+                "lidar2ego_translation": [0.9, 0, 1.8],
+                "ego2global_rotation": [1, 0, 0, 0],
+                "ego2global_translation": [10.0, 5.0, 0.0],
+                "gt_boxes": RNG.rand(3, 7).astype(np.float32) + 1,
+                "gt_names": np.array(["car", "bus", "unknown_thing"]),
+                "gt_velocity": RNG.rand(3, 2).astype(np.float32),
+                "valid_flag": np.array([True, True, True]),
+            }
+        )
+    path = tmp_path / "infos.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "test"}}, f)
+
+    ds = NuScenesSweepDataset(str(path), load_interval=2, max_gt=8)
+    assert len(ds) == 2
+    s = ds.sample(0, temporal=True)
+    assert len(s["image_paths"]) == 12
+    assert s["lidar2img"].shape == (12, 4, 4)
+    assert s["gt_bboxes"].shape == (8, 9)
+    # unknown class filtered -> 2 valid
+    assert s["gt_valid"].sum() == 2
+    assert s["gt_labels"][0] == 0 and s["gt_labels"][1] == 3
+
+    ds_test = NuScenesSweepDataset(str(path), test_mode=True, max_gt=8)
+    s1 = ds_test.sample(1)
+    s2 = ds_test.sample(1)
+    np.testing.assert_array_equal(s1["lidar2img"], s2["lidar2img"])

@@ -56,21 +56,23 @@ def main():
     # then-time protocol (benchmark.py:69-74) is realized via a data
     # dependency instead — each iteration consumes the previous scalar, and
     # the final float() forces the whole chain.
+    # params and data are jit ARGUMENTS (not closure constants) so the
+    # persistent compilation cache hits across runs
     @jax.jit
-    def forward_chained(images, lidar2img, carry):
+    def forward_chained(variables, images, lidar2img, carry):
         out = model.apply(variables, images + carry * 1e-12, lidar2img)
         return out["all_cls_scores"].sum()
 
-    carry = forward_chained(imgs, l2i, jnp.float32(0.0))
+    carry = forward_chained(variables, imgs, l2i, jnp.float32(0.0))
     float(carry)  # compile + sync
     for _ in range(5):
-        carry = forward_chained(imgs, l2i, carry)
+        carry = forward_chained(variables, imgs, l2i, carry)
     float(carry)  # warmup sync
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry = forward_chained(imgs, l2i, carry)
+        carry = forward_chained(variables, imgs, l2i, carry)
     float(carry)
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt

@@ -29,6 +29,7 @@ import flax.linen as nn
 from ..ops.msda import multi_scale_deformable_attention
 from ..geometry.projection import denormalize_points
 from ..utils.math import inverse_sigmoid
+from .layers import LNMLP
 
 
 def _offset_bias_init(num_heads: int, num_points: int) -> np.ndarray:
@@ -166,18 +167,9 @@ class Deform3DCrossAttn(nn.Module):
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
         # positional MLP over inverse-sigmoid normalized ref points (:334)
-        pe = reference_points.astype(jnp.float32)
-        pe = inverse_sigmoid(pe)
-        pos_feat = nn.Sequential(
-            [
-                nn.Dense(C, dtype=self.dtype),
-                nn.LayerNorm(dtype=self.dtype),
-                nn.relu,
-                nn.Dense(C, dtype=self.dtype),
-                nn.LayerNorm(dtype=self.dtype),
-                nn.relu,
-            ],
-            name="position_encoder",
-        )(pe.astype(self.dtype))
+        pe = inverse_sigmoid(reference_points.astype(jnp.float32))
+        pos_feat = LNMLP(C, dtype=self.dtype, name="position_encoder")(
+            pe.astype(self.dtype)
+        )
 
         return out + residual + pos_feat

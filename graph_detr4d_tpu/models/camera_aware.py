@@ -10,7 +10,7 @@ squeeze-excite gate after a 3x3 reduce conv.
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import FrozenBatchNorm, SELayer
+from .layers import FrozenBatchNorm, SELayer, TwoLayerMLP
 
 
 class DepthNet(nn.Module):
@@ -42,12 +42,11 @@ class DepthNet(nn.Module):
         scaled = (
             pixel_size * self.scale_depth_factor / jnp.maximum(ida_scale, 1e-6)
         )[..., None]
-        se = nn.Sequential(
-            [
-                nn.Dense(self.mid_channels, dtype=self.dtype),
-                nn.gelu,
-                nn.Dense(self.mid_channels, dtype=self.dtype),
-            ],
+        se = TwoLayerMLP(
+            self.mid_channels,
+            self.mid_channels,
+            act=nn.gelu,
+            dtype=self.dtype,
             name="mlp",
         )(scaled.astype(self.dtype))  # (B, N, mid)
         se = se[:, :, None, None, :]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..config import HeadConfig
-from .layers import SELayer
+from .layers import SELayer, TwoLayerMLP
 from .positional import sine_positional_encoding_3d, lid_depth_bins
 from .transformer import DecoderLayer
 from ..utils.math import inverse_sigmoid
@@ -133,21 +133,11 @@ class Detr3DHeadPE(nn.Module):
             )
 
         # ---- shared PE modules (one instance across levels, :386-396)
-        position_encoder = nn.Sequential(
-            [
-                nn.Dense(C * 4, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(C, dtype=self.dtype),
-            ],
-            name="position_encoder",
+        position_encoder = TwoLayerMLP(
+            C * 4, C, dtype=self.dtype, name="position_encoder"
         )
-        adapt_pos3d = nn.Sequential(
-            [
-                nn.Dense(C * 4, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(C, dtype=self.dtype),
-            ],
-            name="adapt_pos3d",
+        adapt_pos3d = TwoLayerMLP(
+            C * 4, C, dtype=self.dtype, name="adapt_pos3d"
         )
         fpe = SELayer(C, dtype=self.dtype, name="fpe")
 

@@ -76,3 +76,39 @@ class MLP(nn.Module):
             x = nn.Dense(self.hidden, dtype=self.dtype, name=f"fc{i}")(x)
             x = self.act(x)
         return nn.Dense(self.out, dtype=self.dtype, name="out")(x)
+
+
+class TwoLayerMLP(nn.Module):
+    """Dense -> relu -> Dense with stable child names Dense_0 / Dense_1
+    (the converter relies on these; plain nn.Sequential would leak its
+    children into the parent scope with fragile auto-names)."""
+
+    hidden: int
+    out: int
+    act: Callable = nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="Dense_0")(x)
+        x = self.act(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="Dense_1")(x)
+
+
+class LNMLP(nn.Module):
+    """(Dense -> LayerNorm -> relu) x2 — the cross-attention positional
+    MLP layout (deform3d_cross_attn.py:104-111). Child names match the
+    checkpoint converter: layers_0/1 and layers_3/4 (torch Sequential
+    indices, relu at 2 and 5 holds no params)."""
+
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out, dtype=self.dtype, name="layers_0")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="layers_1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.out, dtype=self.dtype, name="layers_3")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="layers_4")(x)
+        return nn.relu(x)

@@ -26,6 +26,7 @@ import flax.linen as nn
 from ..config import HeadConfig
 from .positional import sine_positional_encoding_3d, lid_depth_bins
 from .head import ClsBranch, RegBranch
+from .layers import TwoLayerMLP
 from ..utils.math import inverse_sigmoid
 
 
@@ -150,26 +151,16 @@ class PETRHead(nn.Module):
         hi = jnp.asarray(pr[3:])
         p3d = (p3d - lo) / (hi - lo)
         p3d = inverse_sigmoid(p3d).reshape(B, N, H, W, D * 3)
-        pos3d = nn.Sequential(
-            [
-                nn.Dense(C * 4, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(C, dtype=self.dtype),
-            ],
-            name="position_encoder",
+        pos3d = TwoLayerMLP(
+            C * 4, C, dtype=self.dtype, name="position_encoder"
         )(p3d.astype(self.dtype))
 
         mask = jnp.zeros((B, N, H, W), jnp.float32)
         sin = sine_positional_encoding_3d(
             mask, num_feats=cfg.pe_num_feats, dtype=jnp.float32
         )
-        sin = nn.Sequential(
-            [
-                nn.Dense(C * 4, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(C, dtype=self.dtype),
-            ],
-            name="adapt_pos3d",
+        sin = TwoLayerMLP(
+            C * 4, C, dtype=self.dtype, name="adapt_pos3d"
         )(sin.astype(self.dtype))
         key_pos = (pos3d + sin).reshape(B, N * H * W, C)
         memory = x.reshape(B, N * H * W, C)
@@ -181,13 +172,8 @@ class PETRHead(nn.Module):
             (cfg.num_query, 3),
         )
         ref = jnp.broadcast_to(ref[None], (B, cfg.num_query, 3))
-        query_pos = nn.Sequential(
-            [
-                nn.Dense(C, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(C, dtype=self.dtype),
-            ],
-            name="query_embedding",
+        query_pos = TwoLayerMLP(
+            C, C, dtype=self.dtype, name="query_embedding"
         )(pos2posemb3d(ref, cfg.pe_num_feats).astype(self.dtype))
         query = jnp.zeros((B, cfg.num_query, C), self.dtype)
 

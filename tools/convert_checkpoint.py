@@ -1,0 +1,427 @@
+"""Convert a reference-layout (mmdet3d/torch) checkpoint into this
+framework's flax variables.
+
+The reference trains from FCOS3D-pretrained weights and publishes .pth
+checkpoints whose state_dict keys follow mmcv naming (img_backbone.*,
+img_neck.*, pts_bbox_head.*; see SURVEY §5 checkpoint/resume). This
+converter maps that layout onto our param tree so published weights can
+reproduce mAP/NDS (the parity goal).
+
+Layout conversions:
+  torch Conv2d  (O, I, kh, kw)  -> flax Conv kernel (kh, kw, I, O)
+  torch Linear  (O, I)          -> flax Dense kernel (I, O)
+  torch BN      weight/bias/running_mean/running_var
+                                -> FrozenBatchNorm gamma/beta/mean/var
+  torch nn.MultiheadAttention in_proj (3C, C) packed q|k|v
+                                -> flax MHA query/key/value (C, H, hd)
+  mmcv DCNv2    conv2.weight + conv2.conv_offset.{weight,bias}
+                                -> DeformConv weight (K, I, O) + conv_offset
+                                   (offset channel order: [dy,dx] pairs then
+                                   K mask channels, mmcv convention)
+
+Usage:
+  python tools/convert_checkpoint.py ref.pth out_dir [--depth 50]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def t_conv(w):  # (O, I, kh, kw) -> (kh, kw, I, O)
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def t_lin(w):  # (O, I) -> (I, O)
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _set(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
+    """Map a reference state_dict (str -> ndarray) to
+    {'params': ..., 'batch_stats': ...} trees for GraphDETR4D."""
+    params, stats = {}, {}
+    blocks_per_stage = {}  # discover from keys
+
+    def bn(dst_scope, src_prefix):
+        _set(stats, dst_scope + ["gamma"], sd[src_prefix + ".weight"])
+        _set(stats, dst_scope + ["beta"], sd[src_prefix + ".bias"])
+        _set(stats, dst_scope + ["mean"], sd[src_prefix + ".running_mean"])
+        _set(stats, dst_scope + ["var"], sd[src_prefix + ".running_var"])
+
+    def lin(dst_scope, src_prefix, bias=True):
+        _set(params, dst_scope + ["kernel"], t_lin(sd[src_prefix + ".weight"]))
+        if bias and src_prefix + ".bias" in sd:
+            _set(params, dst_scope + ["bias"], sd[src_prefix + ".bias"])
+
+    def conv(dst_scope, src_prefix, bias=False):
+        _set(params, dst_scope + ["kernel"], t_conv(sd[src_prefix + ".weight"]))
+        if bias and src_prefix + ".bias" in sd:
+            _set(params, dst_scope + ["bias"], sd[src_prefix + ".bias"])
+
+    # ---------------- backbone (mmcv ResNet naming)
+    conv(["backbone", "stem_conv"], "img_backbone.conv1")
+    bn(["backbone", "stem_bn"], "img_backbone.bn1")
+    for key in sd:
+        if key.startswith("img_backbone.layer") and key.endswith(
+            ".conv1.weight"
+        ):
+            parts = key.split(".")
+            stage = int(parts[1][5:])
+            blk = int(parts[2])
+            blocks_per_stage[stage] = max(
+                blocks_per_stage.get(stage, 0), blk + 1
+            )
+    for stage, nblocks in sorted(blocks_per_stage.items()):
+        for b in range(nblocks):
+            src = f"img_backbone.layer{stage}.{b}"
+            dst = ["backbone", f"layer{stage}_block{b}"]
+            for ci in (1, 2, 3):
+                cw = f"{src}.conv{ci}.weight"
+                if cw not in sd:
+                    continue
+                if f"{src}.conv{ci}.conv_offset.weight" in sd:
+                    # DCNv2 conv2 -> DeformConv
+                    w = np.asarray(sd[cw])  # (O, I, 3, 3)
+                    O, I = w.shape[:2]
+                    _set(
+                        params,
+                        dst + [f"conv{ci}", "weight"],
+                        np.transpose(w, (2, 3, 1, 0)).reshape(9, I, O),
+                    )
+                    conv(
+                        dst + [f"conv{ci}", "conv_offset"],
+                        f"{src}.conv{ci}.conv_offset",
+                        bias=True,
+                    )
+                else:
+                    conv(dst + [f"conv{ci}"], f"{src}.conv{ci}")
+                bn(dst + [f"bn{ci}"], f"{src}.bn{ci}")
+            if f"{src}.downsample.0.weight" in sd:
+                conv(dst + ["downsample_conv"], f"{src}.downsample.0")
+                bn(dst + ["downsample_bn"], f"{src}.downsample.1")
+
+    # ---------------- neck (mmdet FPN naming)
+    i = 0
+    while f"img_neck.lateral_convs.{i}.conv.weight" in sd:
+        conv(
+            ["neck", f"lateral{i}"],
+            f"img_neck.lateral_convs.{i}.conv",
+            bias=True,
+        )
+        i += 1
+    i = 0
+    while f"img_neck.fpn_convs.{i}.conv.weight" in sd:
+        conv(
+            ["neck", f"fpn_conv{i}"],
+            f"img_neck.fpn_convs.{i}.conv",
+            bias=True,
+        )
+        i += 1
+
+    # ---------------- head
+    hd = "pts_bbox_head"
+    if f"{hd}.query_embedding.weight" in sd:
+        _set(
+            params,
+            ["head", "query_embedding"],
+            sd[f"{hd}.query_embedding.weight"],
+        )
+    lin(["head", "reference_points"], f"{hd}.transformer.reference_points")
+    # PE mlps (Conv2d 1x1 -> Dense)
+    for dst, src in (
+        ("position_encoder", f"{hd}.position_encoder"),
+        ("adapt_pos3d", f"{hd}.adapt_pos3d"),
+    ):
+        for j, tidx in enumerate((0, 2)):
+            w = np.asarray(sd[f"{src}.{tidx}.weight"])[:, :, 0, 0]
+            _set(
+                params,
+                ["head", dst, f"Dense_{j}", "kernel"],
+                t_lin(w),
+            )
+            _set(
+                params,
+                ["head", dst, f"Dense_{j}", "bias"],
+                sd[f"{src}.{tidx}.bias"],
+            )
+    # fpe SELayer
+    conv(["head", "fpe", "reduce"], f"{hd}.fpe.conv_reduce", bias=True)
+    conv(["head", "fpe", "expand"], f"{hd}.fpe.conv_expand", bias=True)
+
+    # branches
+    for lid in range(num_decoder_layers):
+        cls_src = f"{hd}.cls_branches.{lid}"
+        dst = ["head", f"cls_branch{lid}"]
+        lin(dst + ["fc0"], f"{cls_src}.0")
+        lin_ln(params, dst + ["ln0"], sd, f"{cls_src}.1")
+        lin(dst + ["fc1"], f"{cls_src}.3")
+        lin_ln(params, dst + ["ln1"], sd, f"{cls_src}.4")
+        lin(dst + ["out"], f"{cls_src}.6")
+        reg_src = f"{hd}.reg_branches.{lid}"
+        dst = ["head", f"reg_branch{lid}"]
+        lin(dst + ["fc0"], f"{reg_src}.0")
+        lin(dst + ["fc1"], f"{reg_src}.2")
+        lin(dst + ["out"], f"{reg_src}.4")
+
+        # decoder layer
+        lsrc = f"{hd}.transformer.decoder.layers.{lid}"
+        dst = ["head", f"decoder_layer{lid}"]
+        # self-attn: split packed in_proj
+        w = np.asarray(sd[f"{lsrc}.attentions.0.attn.in_proj_weight"])
+        bsa = np.asarray(sd[f"{lsrc}.attentions.0.attn.in_proj_bias"])
+        C = w.shape[1]
+        hd_dim = C // nheads
+        for gi, name in enumerate(("query", "key", "value")):
+            wk = t_lin(w[gi * C : (gi + 1) * C]).reshape(C, nheads, hd_dim)
+            bk = bsa[gi * C : (gi + 1) * C].reshape(nheads, hd_dim)
+            _set(params, dst + ["self_attn", name, "kernel"], wk)
+            _set(params, dst + ["self_attn", name, "bias"], bk)
+        wo = t_lin(
+            sd[f"{lsrc}.attentions.0.attn.out_proj.weight"]
+        ).reshape(nheads, hd_dim, C)
+        _set(params, dst + ["self_attn", "out", "kernel"], wo)
+        _set(
+            params,
+            dst + ["self_attn", "out", "bias"],
+            sd[f"{lsrc}.attentions.0.attn.out_proj.bias"],
+        )
+        # cross-attn (Deform3DCrossAttn)
+        xsrc = f"{lsrc}.attentions.1"
+        xdst = dst + ["cross_attn"]
+        lin(xdst + ["cam_attention_weights"], f"{xsrc}.cam_attention_weights")
+        lin(xdst + ["sampling_offsets"], f"{xsrc}.deform_sampling_offsets")
+        lin(xdst + ["attention_weights"], f"{xsrc}.attention_weights")
+        lin(xdst + ["value_proj"], f"{xsrc}.value_proj")
+        lin(xdst + ["output_proj"], f"{xsrc}.output_proj")
+        pe = f"{xsrc}.position_encoder"
+        lin(xdst + ["position_encoder", "layers_0"], f"{pe}.0")
+        lin_ln(params, xdst + ["position_encoder", "layers_1"], sd, f"{pe}.1")
+        lin(xdst + ["position_encoder", "layers_3"], f"{pe}.3")
+        lin_ln(params, xdst + ["position_encoder", "layers_4"], sd, f"{pe}.4")
+        # ffn + norms
+        lin(dst + ["ffn", "Dense_0"], f"{lsrc}.ffns.0.layers.0.0")
+        lin(dst + ["ffn", "Dense_1"], f"{lsrc}.ffns.0.layers.1")
+        for ni in range(3):
+            lin_ln(params, dst + [f"norm{ni + 1}"], sd, f"{lsrc}.norms.{ni}")
+
+    return {"params": params, "batch_stats": stats}
+
+
+def lin_ln(params, dst_scope, sd, src_prefix):
+    """LayerNorm weight/bias -> scale/bias."""
+    _set(params, dst_scope + ["scale"], sd[src_prefix + ".weight"])
+    _set(params, dst_scope + ["bias"], sd[src_prefix + ".bias"])
+
+
+def _get(tree, path):
+    node = tree
+    for k in path:
+        node = node[k]
+    return np.asarray(node)
+
+
+def export_state_dict(variables, num_decoder_layers: int = 6, nheads: int = 8):
+    """Inverse mapping: our flax variables -> reference-layout state_dict.
+
+    Used to publish weights in the reference's format and as the roundtrip
+    oracle for convert_state_dict in tests.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd = {}
+
+    def inv_conv(src_scope, dst_prefix, bias=False):
+        sd[dst_prefix + ".weight"] = np.transpose(
+            _get(params, src_scope + ["kernel"]), (3, 2, 0, 1)
+        )
+        if bias:
+            sd[dst_prefix + ".bias"] = _get(params, src_scope + ["bias"])
+
+    def inv_lin(src_scope, dst_prefix):
+        sd[dst_prefix + ".weight"] = np.transpose(
+            _get(params, src_scope + ["kernel"]), (1, 0)
+        )
+        node = params
+        for k in src_scope:
+            node = node[k]
+        if "bias" in node:
+            sd[dst_prefix + ".bias"] = np.asarray(node["bias"])
+
+    def inv_bn(src_scope, dst_prefix):
+        sd[dst_prefix + ".weight"] = _get(stats, src_scope + ["gamma"])
+        sd[dst_prefix + ".bias"] = _get(stats, src_scope + ["beta"])
+        sd[dst_prefix + ".running_mean"] = _get(stats, src_scope + ["mean"])
+        sd[dst_prefix + ".running_var"] = _get(stats, src_scope + ["var"])
+
+    def inv_ln(src_scope, dst_prefix):
+        sd[dst_prefix + ".weight"] = _get(params, src_scope + ["scale"])
+        sd[dst_prefix + ".bias"] = _get(params, src_scope + ["bias"])
+
+    inv_conv(["backbone", "stem_conv"], "img_backbone.conv1")
+    inv_bn(["backbone", "stem_bn"], "img_backbone.bn1")
+    for name in sorted(params["backbone"]):
+        if not name.startswith("layer"):
+            continue
+        stage = int(name[5])
+        blk = int(name.split("block")[1])
+        src = ["backbone", name]
+        dst = f"img_backbone.layer{stage}.{blk}"
+        for ci in (1, 2, 3):
+            key = f"conv{ci}"
+            if key not in params["backbone"][name]:
+                continue
+            sub = params["backbone"][name][key]
+            if "weight" in sub:  # DeformConv
+                w = _get(params, src + [key, "weight"])  # (9, I, O)
+                K, I, O = w.shape
+                sd[f"{dst}.conv{ci}.weight"] = np.transpose(
+                    w.reshape(3, 3, I, O), (3, 2, 0, 1)
+                )
+                inv_conv(
+                    src + [key, "conv_offset"],
+                    f"{dst}.conv{ci}.conv_offset",
+                    bias=True,
+                )
+            else:
+                inv_conv(src + [key], f"{dst}.conv{ci}")
+            inv_bn(src + [f"bn{ci}"], f"{dst}.bn{ci}")
+        if "downsample_conv" in params["backbone"][name]:
+            inv_conv(src + ["downsample_conv"], f"{dst}.downsample.0")
+            inv_bn(src + ["downsample_bn"], f"{dst}.downsample.1")
+
+    i = 0
+    while f"lateral{i}" in params["neck"]:
+        inv_conv(
+            ["neck", f"lateral{i}"],
+            f"img_neck.lateral_convs.{i}.conv",
+            bias=True,
+        )
+        i += 1
+    i = 0
+    while f"fpn_conv{i}" in params["neck"]:
+        inv_conv(
+            ["neck", f"fpn_conv{i}"],
+            f"img_neck.fpn_convs.{i}.conv",
+            bias=True,
+        )
+        i += 1
+
+    hd = "pts_bbox_head"
+    sd[f"{hd}.query_embedding.weight"] = _get(
+        params, ["head", "query_embedding"]
+    )
+    inv_lin(["head", "reference_points"], f"{hd}.transformer.reference_points")
+    for src_name, dst_name in (
+        ("position_encoder", f"{hd}.position_encoder"),
+        ("adapt_pos3d", f"{hd}.adapt_pos3d"),
+    ):
+        for j, tidx in enumerate((0, 2)):
+            w = np.transpose(
+                _get(params, ["head", src_name, f"Dense_{j}", "kernel"]),
+                (1, 0),
+            )[:, :, None, None]
+            sd[f"{dst_name}.{tidx}.weight"] = w
+            sd[f"{dst_name}.{tidx}.bias"] = _get(
+                params, ["head", src_name, f"Dense_{j}", "bias"]
+            )
+    inv_conv(["head", "fpe", "reduce"], f"{hd}.fpe.conv_reduce", bias=True)
+    inv_conv(["head", "fpe", "expand"], f"{hd}.fpe.conv_expand", bias=True)
+
+    for lid in range(num_decoder_layers):
+        dst = ["head", f"cls_branch{lid}"]
+        csrc = f"{hd}.cls_branches.{lid}"
+        inv_lin(dst + ["fc0"], f"{csrc}.0")
+        inv_ln(dst + ["ln0"], f"{csrc}.1")
+        inv_lin(dst + ["fc1"], f"{csrc}.3")
+        inv_ln(dst + ["ln1"], f"{csrc}.4")
+        inv_lin(dst + ["out"], f"{csrc}.6")
+        dst = ["head", f"reg_branch{lid}"]
+        rsrc = f"{hd}.reg_branches.{lid}"
+        inv_lin(dst + ["fc0"], f"{rsrc}.0")
+        inv_lin(dst + ["fc1"], f"{rsrc}.2")
+        inv_lin(dst + ["out"], f"{rsrc}.4")
+
+        lsrc = f"{hd}.transformer.decoder.layers.{lid}"
+        dst = ["head", f"decoder_layer{lid}"]
+        qkv = []
+        qkvb = []
+        for name in ("query", "key", "value"):
+            k = _get(params, dst + ["self_attn", name, "kernel"])
+            b = _get(params, dst + ["self_attn", name, "bias"])
+            C = k.shape[0]
+            qkv.append(np.transpose(k.reshape(C, -1), (1, 0)))
+            qkvb.append(b.reshape(-1))
+        sd[f"{lsrc}.attentions.0.attn.in_proj_weight"] = np.concatenate(qkv, 0)
+        sd[f"{lsrc}.attentions.0.attn.in_proj_bias"] = np.concatenate(qkvb, 0)
+        ko = _get(params, dst + ["self_attn", "out", "kernel"])
+        C = ko.shape[-1]
+        sd[f"{lsrc}.attentions.0.attn.out_proj.weight"] = np.transpose(
+            ko.reshape(-1, C), (1, 0)
+        )
+        sd[f"{lsrc}.attentions.0.attn.out_proj.bias"] = _get(
+            params, dst + ["self_attn", "out", "bias"]
+        )
+
+        xsrc = f"{lsrc}.attentions.1"
+        xdst = dst + ["cross_attn"]
+        inv_lin(xdst + ["cam_attention_weights"], f"{xsrc}.cam_attention_weights")
+        inv_lin(xdst + ["sampling_offsets"], f"{xsrc}.deform_sampling_offsets")
+        inv_lin(xdst + ["attention_weights"], f"{xsrc}.attention_weights")
+        inv_lin(xdst + ["value_proj"], f"{xsrc}.value_proj")
+        inv_lin(xdst + ["output_proj"], f"{xsrc}.output_proj")
+        pe = f"{xsrc}.position_encoder"
+        inv_lin(xdst + ["position_encoder", "layers_0"], f"{pe}.0")
+        inv_ln(xdst + ["position_encoder", "layers_1"], f"{pe}.1")
+        inv_lin(xdst + ["position_encoder", "layers_3"], f"{pe}.3")
+        inv_ln(xdst + ["position_encoder", "layers_4"], f"{pe}.4")
+
+        inv_lin(dst + ["ffn", "Dense_0"], f"{lsrc}.ffns.0.layers.0.0")
+        inv_lin(dst + ["ffn", "Dense_1"], f"{lsrc}.ffns.0.layers.1")
+        for ni in range(3):
+            inv_ln(dst + [f"norm{ni + 1}"], f"{lsrc}.norms.{ni}")
+    return sd
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint")
+    p.add_argument("out_dir")
+    p.add_argument("--num-decoder-layers", type=int, default=6)
+    args = p.parse_args()
+
+    import torch
+
+    ckpt = torch.load(args.checkpoint, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    variables = convert_state_dict(sd, args.num_decoder_layers)
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(args.out_dir)
+    ocp.StandardCheckpointer().save(path, variables)
+    n = sum(np.asarray(x).size for x in _leaves(variables))
+    print(f"converted {len(sd)} tensors -> {path} ({n/1e6:.2f} M params)")
+
+
+def _leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    main()

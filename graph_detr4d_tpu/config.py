@@ -114,7 +114,7 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
-    # 'detr4d_pe' (Detr3DHeadPE, flagship) | 'petr' | 'petrv2'
+    # 'detr4d_pe' (Detr3DHeadPE, flagship) | 'petr' | 'petrv2' | 'petr_seg'
     head_type: str = "detr4d_pe"
     backbone_type: str = "resnet"  # 'resnet' | 'vovnet'
     vovnet_spec: str = "V-99-eSE"

@@ -59,9 +59,22 @@ class GraphDETR4D(nn.Module):
                 with_time=self.cfg.head_type == "petrv2",
                 dtype=dtype,
             )
-        else:
+        elif self.cfg.head_type == "petr_seg":
+            from .petr_seg import PETRHeadSeg
+
+            self.head = PETRHeadSeg(
+                cfg=self.cfg.head,
+                img_shape=self.cfg.img_size,
+                dtype=dtype,
+            )
+        elif self.cfg.head_type == "detr4d_pe":
             self.head = Detr3DHeadPE(
                 cfg=self.cfg.head, img_shape=self.cfg.img_size, dtype=dtype
+            )
+        else:
+            raise ValueError(
+                f"unknown head_type {self.cfg.head_type!r}; expected one of "
+                "'detr4d_pe', 'petr', 'petrv2', 'petr_seg'"
             )
 
     def extract_feats(self, images, train: bool, rng: Optional[jax.Array]):
@@ -87,7 +100,7 @@ class GraphDETR4D(nn.Module):
         mean_time_stamp: Optional[jnp.ndarray] = None,  # PETRv2 (B,)
     ):
         feats = self.extract_feats(images, train, rng)
-        if self.cfg.head_type in ("petr", "petrv2"):
+        if self.cfg.head_type in ("petr", "petrv2", "petr_seg"):
             return self.head(
                 feats,
                 lidar2img,

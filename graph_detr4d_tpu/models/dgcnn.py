@@ -1,0 +1,430 @@
+"""LiDAR branch: ObjDGCNN detector, DGCNN3DHead, DGCNN k-NN attention.
+
+Parity targets in the reference:
+  * `DGCNNAttn` (models/utils/dgcnn_attn.py:9-96): k-NN graph
+    self-attention — pairwise cdist -> topk -> two edge-conv stages
+    (Conv1x1+BN+ReLU, max over neighbors), summed, residual.
+  * `DGCNN3DHead` (models/dense_heads/dgcnn3d_head.py:18-483):
+    deformable-DETR head over the BEV pyramid with 2D reference points,
+    iterative xy refinement (detr.py:95-107), outputs the 10-d detr3d
+    code (cx, cy metric; dgcnn3d_head.py:168-180).
+  * `ObjDGCNN` (models/detectors/obj_dgcnn.py:8-143): voxelize ->
+    pts_voxel_encoder -> middle encoder -> SECOND backbone -> FPN ->
+    head.
+
+TPU adaptations (documented, intentional):
+  * hard CUDA voxelization -> dense pillar scatter (ops/voxelize.py);
+  * BatchNorm inside DGCNN edge convs -> LayerNorm (no cross-replica
+    batch-stat sync; per-token normalization is the TPU idiom);
+  * the k-NN top-k keeps the reference's exact semantics — `topk` of the
+    *distance* matrix, i.e. the K farthest queries (dgcnn_attn.py:85-87
+    takes largest; a quirk preserved for checkpoint parity).
+"""
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import HeadConfig
+from ..ops.msda import multi_scale_deformable_attention
+from ..ops.voxelize import (
+    pillar_indices,
+    pillar_scatter,
+    pillar_center_offsets,
+)
+from ..utils.math import inverse_sigmoid
+from .head import ClsBranch, RegBranch
+from .positional import sine_positional_encoding_2d
+
+
+class DGCNNAttn(nn.Module):
+    """k-NN graph self-attention (dgcnn_attn.py:9-96)."""
+
+    embed_dims: int
+    k: int = 16
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def edge_feats(self, x: jnp.ndarray, k: int) -> jnp.ndarray:
+        """(B, N, C) -> (B, N, K, 2C) [neighbor, center] pairs.
+
+        Neighbor selection matches dgcnn_attn.py:85-87: topk (largest) of
+        the pairwise euclidean distance matrix.
+        """
+        # squared distance via the matmul identity (MXU-friendly);
+        # monotone in distance so topk is unchanged
+        sq = jnp.sum(x * x, axis=-1)
+        d2 = (
+            sq[:, :, None]
+            + sq[:, None, :]
+            - 2.0 * jnp.einsum("bnc,bmc->bnm", x, x)
+        )
+        _, idx = jax.lax.top_k(d2, k)  # (B, N, K) — farthest, as reference
+        nb = jnp.take_along_axis(
+            x[:, None, :, :],
+            idx[..., None].repeat(x.shape[-1], axis=-1)[:, :, :, :],
+            axis=2,
+        )  # (B, N, K, C)
+        ctr = jnp.broadcast_to(x[:, :, None, :], nb.shape)
+        return jnp.concatenate([nb, ctr], axis=-1)
+
+    @nn.compact
+    def __call__(self, query, query_pos=None, deterministic: bool = True):
+        residual = query
+        x = query if query_pos is None else query + query_pos
+        x = x.astype(self.dtype)
+
+        def edge_conv(feats, name):
+            y = nn.Dense(
+                self.embed_dims, use_bias=False, dtype=self.dtype, name=name
+            )(feats)
+            y = nn.LayerNorm(dtype=self.dtype, name=name + "_norm")(y)
+            y = nn.relu(y)
+            return y.max(axis=2)  # max over K neighbors
+
+        e1 = edge_conv(self.edge_feats(x, self.k), "conv1")
+        e2 = edge_conv(self.edge_feats(e1, self.k), "conv2")
+        out = e1 + e2
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return residual + out
+
+
+class BEVDeformableCrossAttn(nn.Module):
+    """Standard 2D multi-scale deformable attention over the BEV pyramid
+    (the mmcv MultiScaleDeformableAttention the reference configures for
+    DGCNN3DHead's decoder; offsets normalized by level shapes)."""
+
+    embed_dims: int
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Q, C)
+        value_levels: Sequence[jnp.ndarray],  # L x (B, H_l, W_l, C)
+        reference_points: jnp.ndarray,  # (B, Q, 2) in [0, 1] (x, y)
+        query_pos: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Q, C = query.shape
+        Hh, L, P = self.num_heads, self.num_levels, self.num_points
+        hd = C // Hh
+        residual = query
+        q = query + query_pos
+
+        offsets = nn.Dense(
+            Hh * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _grid_offset_bias(Hh, L, P), dtype
+            ),
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(q).reshape(B, Q, Hh, L, P, 2).astype(jnp.float32)
+        attn = nn.Dense(
+            Hh * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(q).reshape(B, Q, Hh, L * P)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).reshape(
+            B, Q, Hh, L, P
+        )
+
+        shapes = jnp.asarray(
+            [[v.shape[2], v.shape[1]] for v in value_levels], jnp.float32
+        )  # (L, 2) as (W, H)
+        loc = (
+            reference_points[:, :, None, None, None, :]
+            + offsets / shapes[None, None, None, :, None, :]
+        )
+
+        vproj = nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="value_proj",
+        )
+        values = [
+            vproj(v).reshape(B, v.shape[1], v.shape[2], Hh, hd)
+            for v in value_levels
+        ]
+        out = multi_scale_deformable_attention(
+            values, loc.astype(self.dtype), attn.astype(self.dtype)
+        )
+        out = nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="output_proj",
+        )(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return residual + out
+
+
+def _grid_offset_bias(num_heads: int, num_levels: int, num_points: int):
+    """Deformable-DETR circular offset init (8 directions x growing radius)."""
+    import numpy as np
+
+    thetas = np.arange(num_heads, dtype=np.float32) * (
+        2.0 * math.pi / num_heads
+    )
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1)
+
+
+class DGCNN3DHead(nn.Module):
+    """BEV anchor-free set-prediction head (dgcnn3d_head.py:18-483).
+
+    Decoder layer = DGCNN k-NN self-attention + BEV deformable
+    cross-attention + FFN; 2D reference points refined per layer in
+    inverse-sigmoid space with stop_gradient (detr.py:95-107); outputs the
+    10-d code with metric cx, cy (dgcnn3d_head.py:168-180) so the shared
+    loss/coder apply unchanged.
+    """
+
+    cfg: HeadConfig
+    knn_k: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        bev_levels: Sequence[jnp.ndarray],  # L x (B, H_l, W_l, C)
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        C = cfg.embed_dims
+        B = bev_levels[0].shape[0]
+        pr = cfg.pc_range
+
+        # query_embedding (num_query, 2C) -> (query_pos, query)
+        qe = self.param(
+            "query_embedding",
+            nn.initializers.normal(1.0),
+            (cfg.num_query, 2 * C),
+        )
+        query_pos, query = jnp.split(
+            jnp.broadcast_to(qe[None], (B, cfg.num_query, 2 * C)), 2, -1
+        )
+        query_pos = query_pos.astype(self.dtype)
+        query = query.astype(self.dtype)
+        ref = jax.nn.sigmoid(
+            nn.Dense(2, dtype=jnp.float32, name="reference_points")(
+                query_pos.astype(jnp.float32)
+            )
+        )  # (B, Q, 2)
+
+        # per-level sine positional encodings are additive constants on the
+        # value path in deformable attention; we fold them into the values
+        pe_levels = [
+            v
+            + sine_positional_encoding_2d(
+                v.shape[1], v.shape[2], v.shape[-1] // 2
+            ).astype(v.dtype)[None]
+            for v in bev_levels
+        ]
+
+        cls_scores, bbox_preds = [], []
+        for lid in range(cfg.num_decoder_layers):
+            query = DGCNNAttn(
+                embed_dims=C,
+                k=self.knn_k,
+                dropout=cfg.dropout,
+                dtype=self.dtype,
+                name=f"layer{lid}_self_attn",
+            )(query, query_pos, deterministic)
+            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lid}_norm1")(
+                query
+            )
+            query = BEVDeformableCrossAttn(
+                embed_dims=C,
+                num_heads=cfg.num_heads,
+                num_levels=len(pe_levels),
+                num_points=cfg.num_points,
+                dropout=cfg.dropout,
+                dtype=self.dtype,
+                name=f"layer{lid}_cross_attn",
+            )(query, pe_levels, ref, query_pos, deterministic)
+            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lid}_norm2")(
+                query
+            )
+            y = nn.Dense(cfg.ffn_dims, dtype=self.dtype)(query)
+            y = nn.relu(y)
+            y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+            y = nn.Dense(C, dtype=self.dtype)(y)
+            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lid}_norm3")(
+                query + y
+            )
+
+            score = ClsBranch(
+                C,
+                cfg.num_classes,
+                cfg.num_reg_fcs,
+                dtype=self.dtype,
+                name=f"cls_branch{lid}",
+            )(query).astype(jnp.float32)
+            tmp = RegBranch(
+                C,
+                cfg.code_size,
+                cfg.num_reg_fcs,
+                dtype=self.dtype,
+                name=f"reg_branch{lid}",
+            )(query).astype(jnp.float32)
+
+            xy = jax.nn.sigmoid(tmp[..., 0:2] + inverse_sigmoid(ref))
+            cx = xy[..., 0:1] * (pr[3] - pr[0]) + pr[0]
+            cy = xy[..., 1:2] * (pr[4] - pr[1]) + pr[1]
+            coord = jnp.concatenate([cx, cy, tmp[..., 2:]], axis=-1)
+            cls_scores.append(score)
+            bbox_preds.append(coord)
+            # iterative refinement with detach (detr.py:95-107)
+            ref = jax.lax.stop_gradient(xy)
+
+        return {
+            "all_cls_scores": jnp.stack(cls_scores),
+            "all_bbox_preds": jnp.stack(bbox_preds),
+        }
+
+
+class PillarEncoder(nn.Module):
+    """pts_voxel_encoder + middle encoder as one dense op: per-point MLP
+    then max-scatter into the (H, W) BEV grid (ops/voxelize.py)."""
+
+    out_channels: int = 64
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    grid_hw: Tuple[int, int] = (128, 128)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, mask):
+        """points (B, P, F>=3), mask (B, P) -> (B, H, W, C)."""
+
+        def one(points, mask):
+            ids, _ = pillar_indices(points, mask, self.pc_range, self.grid_hw)
+            aug = pillar_center_offsets(points, ids, self.pc_range, self.grid_hw)
+            return ids, aug
+
+        ids, aug = jax.vmap(one)(points, mask)
+        feats = nn.Dense(self.out_channels, dtype=self.dtype, name="pfn")(
+            aug.astype(self.dtype)
+        )
+        feats = nn.LayerNorm(dtype=self.dtype, name="pfn_norm")(feats)
+        feats = nn.relu(feats).astype(jnp.float32)
+        bev = jax.vmap(
+            lambda f, i: pillar_scatter(f, i, self.grid_hw, reduce="max")
+        )(feats, ids)
+        return bev.astype(self.dtype)
+
+
+class SECONDBackbone(nn.Module):
+    """SECOND-style BEV conv backbone: per-stage [stride-2 conv + N convs]."""
+
+    channels: Tuple[int, ...] = (64, 128, 256)
+    num_blocks: Tuple[int, ...] = (3, 5, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        for s, (ch, nb) in enumerate(zip(self.channels, self.num_blocks)):
+            stride = 1 if s == 0 else 2
+            x = nn.Conv(
+                ch, (3, 3), strides=stride, dtype=self.dtype,
+                name=f"stage{s}_down",
+            )(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.relu(x)
+            for b in range(nb):
+                y = nn.Conv(
+                    ch, (3, 3), dtype=self.dtype, name=f"stage{s}_conv{b}"
+                )(x)
+                y = nn.LayerNorm(dtype=self.dtype)(y)
+                x = nn.relu(x + y)
+            outs.append(x)
+        return outs
+
+
+class SECONDFPN(nn.Module):
+    """Upsample each stage to a common stride and emit a small pyramid."""
+
+    out_channels: int = 256
+    num_outs: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(f)
+            for f in feats
+        ]
+        # top-down sum (nearest upsample)
+        for i in range(len(laterals) - 1, 0, -1):
+            up = jax.image.resize(
+                laterals[i],
+                laterals[i - 1].shape,
+                method="nearest",
+            )
+            laterals[i - 1] = laterals[i - 1] + up
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), dtype=self.dtype)(l)
+            for l in laterals
+        ]
+        while len(outs) < self.num_outs:
+            outs.append(
+                nn.Conv(
+                    self.out_channels, (3, 3), strides=2, dtype=self.dtype
+                )(outs[-1])
+            )
+        return outs[: self.num_outs]
+
+
+class ObjDGCNN(nn.Module):
+    """LiDAR detector: pillarize -> SECOND -> FPN -> DGCNN3DHead
+    (obj_dgcnn.py:8-143)."""
+
+    head_cfg: HeadConfig
+    grid_hw: Tuple[int, int] = (128, 128)
+    pillar_channels: int = 64
+    knn_k: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, mask, deterministic: bool = True):
+        bev = PillarEncoder(
+            out_channels=self.pillar_channels,
+            pc_range=self.head_cfg.pc_range,
+            grid_hw=self.grid_hw,
+            dtype=self.dtype,
+            name="pillar_encoder",
+        )(points, mask)
+        feats = SECONDBackbone(
+            channels=(self.pillar_channels, self.pillar_channels * 2,
+                      self.head_cfg.embed_dims),
+            dtype=self.dtype,
+            name="pts_backbone",
+        )(bev)
+        levels = SECONDFPN(
+            out_channels=self.head_cfg.embed_dims,
+            num_outs=self.head_cfg.num_levels,
+            dtype=self.dtype,
+            name="pts_neck",
+        )(feats)
+        return DGCNN3DHead(
+            cfg=self.head_cfg,
+            knn_k=self.knn_k,
+            dtype=self.dtype,
+            name="pts_bbox_head",
+        )(levels, deterministic)

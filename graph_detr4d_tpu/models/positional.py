@@ -47,6 +47,40 @@ def sine_positional_encoding_3d(
     return pos.astype(dtype)
 
 
+def sine_positional_encoding_2d(
+    h: int,
+    w: int,
+    num_feats: int = 128,
+    temperature: float = 10000.0,
+    offset: float = -0.5,
+    eps: float = 1e-6,
+    scale: float = 2 * math.pi,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Standard 2-axis sine PE over an unmasked (h, w) grid
+    (mmdet SinePositionalEncoding with normalize=True, the DGCNN head's
+    `positional_encoding`, dgcnn3d_head.py:140-141).
+    Returns (h, w, 2*num_feats) as [y-embed, x-embed]."""
+    y_embed = (jnp.arange(1, h + 1, dtype=jnp.float32) + offset) / (
+        h + eps
+    ) * scale
+    x_embed = (jnp.arange(1, w + 1, dtype=jnp.float32) + offset) / (
+        w + eps
+    ) * scale
+    dim_t = jnp.arange(num_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_feats)
+
+    def encode(e):
+        p = e[..., None] / dim_t
+        return jnp.stack(
+            [jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1
+        ).reshape(*e.shape, num_feats)
+
+    pos_y = jnp.broadcast_to(encode(y_embed)[:, None, :], (h, w, num_feats))
+    pos_x = jnp.broadcast_to(encode(x_embed)[None, :, :], (h, w, num_feats))
+    return jnp.concatenate([pos_y, pos_x], axis=-1).astype(dtype)
+
+
 def lid_depth_bins(
     depth_num: int, depth_start: float, depth_max: float
 ) -> jnp.ndarray:

@@ -1,0 +1,357 @@
+"""Named model configs mirroring the reference's config inventory.
+
+The reference drives everything through mmcv python-file configs under
+projects/configs/{detr3d,detr4d,petr,petrv2,distillers} and
+projects/distill_cfg (50+ files; ceph/path-only duplicates collapse to one
+entry here). Each name maps to a zero-arg constructor returning a
+ModelConfig (or a distill bundle via `get_distill_config`).
+
+CLI override syntax matches the reference's `--cfg-options` dot paths
+(tools/train.py:68-77): `head.num_query=600 img_size=(320,800)`.
+
+Usage:
+    from graph_detr4d_tpu.configs import get_config, list_configs
+    cfg = get_config("detr4d_res50_deform_pe_testaug_2subset_12e",
+                     overrides=["head.num_query=600"])
+"""
+
+import ast
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence
+
+from ..config import (
+    BackboneConfig,
+    CoderConfig,
+    HeadConfig,
+    LossConfig,
+    ModelConfig,
+    NeckConfig,
+    TrainConfig,
+)
+
+_REGISTRY: Dict[str, Callable[[], ModelConfig]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def list_configs():
+    return sorted(_REGISTRY)
+
+
+def get_config(
+    name: str, overrides: Optional[Sequence[str]] = None
+) -> ModelConfig:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown config {name!r}; available: {', '.join(list_configs())}"
+        )
+    cfg = _REGISTRY[name]()
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def apply_overrides(cfg, overrides: Sequence[str]):
+    """Dot-path overrides on nested frozen dataclasses:
+    'head.num_query=600' / 'bf16=False' / 'img_size=(320,800)'."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} must be key=value")
+        path, raw = ov.split("=", 1)
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw  # bare string
+        keys = path.strip().split(".")
+        cfg = _replace_path(cfg, keys, value)
+    return cfg
+
+
+def _replace_path(obj, keys, value):
+    if len(keys) == 1:
+        if not hasattr(obj, keys[0]):
+            raise AttributeError(
+                f"{type(obj).__name__} has no field {keys[0]!r}"
+            )
+        return dataclasses.replace(obj, **{keys[0]: value})
+    child = getattr(obj, keys[0])
+    return dataclasses.replace(
+        obj, **{keys[0]: _replace_path(child, keys[1:], value)}
+    )
+
+
+# --------------------------------------------------------------- helpers
+def _detr4d(img_size=(640, 1600), **head_kw) -> ModelConfig:
+    head = dict(num_cams=12, with_detach=False)
+    head.update(head_kw)
+    return ModelConfig(head=HeadConfig(**head), img_size=img_size)
+
+
+# ------------------------------------------------------- detr4d family
+@register("detr4d_res50_deform_pe_testaug_2subset_12e")
+def detr4d_flagship():
+    """The flagship Graph-DETR4D (mAP 34.2 / NDS 44.5 recipe;
+    configs/detr4d/detr4d_res50_deform_pe_testaug_2subset_12e.py)."""
+    return _detr4d()
+
+
+@register("detr4d_res50_deform_pe_2subset_12e")
+def detr4d_no_testaug():
+    # identical model; differs only in eval-time ida augmentation
+    return _detr4d()
+
+
+@register("detr4d_res50_deform_pe_testaug_detach_2subset_12e")
+def detr4d_detach():
+    return _detr4d(with_detach=True)
+
+
+@register("detr4d_res50_deform_pe_mp_testaug_2subset_12e")
+def detr4d_mp():
+    """Graph multi-point neighbors (Deform3DCrossAttnMP)."""
+    return _detr4d(attn_type="deform3d_mp")
+
+
+@register("detr4d_res50_deform_camaware_pe_aug_2subset_12e")
+def detr4d_camaware():
+    """BEVDepth-style DepthNet modulation (Detr3DHeadPECAM)."""
+    return _detr4d(cam_aware=True)
+
+
+@register("detr4d_res50_deform_camaware_fpe_2subset_12e")
+def detr4d_camaware_fpe():
+    return _detr4d(cam_aware=True, with_fpe=True)
+
+
+@register("detr4d_res50_deform_pe_450_2subset_12e")
+def detr4d_450():
+    return _detr4d(img_size=(448, 800))  # 450x800 padded /32
+
+
+@register("detr4d_res50_deform_pe_testaug_320_800")
+def detr4d_320():
+    return _detr4d(img_size=(320, 800))
+
+
+@register("detr4d_res50_deform_simpleda_2subset_12e")
+def detr4d_scale_aware():
+    """Scale-aware depth-factor variant (scale_pred=True,
+    RandomResizeMultiViewImage_SimpleDA pipeline)."""
+    return _detr4d(scale_pred=True)
+
+
+@register("h_detr4d_res50_deform_pe_testaug_2subset_12e")
+def h_detr4d():
+    """H-DETR hybrid one2one + one2many matching
+    (h_detr3d_head_pe.py:40-693)."""
+    return _detr4d(
+        num_query_one2many=1800, k_one2many=6, lambda_one2many=2.0
+    )
+
+
+@register("detr4d_res18_deform_pe_testaug_320_2subset")
+def detr4d_r18():
+    cfg = _detr4d(img_size=(320, 800))
+    return dataclasses.replace(
+        cfg,
+        backbone=BackboneConfig(depth=18, use_dcn=False),
+        neck=NeckConfig(in_channels=(64, 128, 256, 512)),
+    )
+
+
+@register("detr4d_m2_deform_pe_testaug_320_fullset")
+def detr4d_m2():
+    """MobileNetV2 student (configs/detr4d/detr4d_m2_..._fullset.py:51)."""
+    cfg = _detr4d(img_size=(320, 800))
+    return dataclasses.replace(
+        cfg,
+        backbone_type="mobilenetv2",
+        backbone=BackboneConfig(out_indices=(2, 4, 7)),
+        neck=NeckConfig(in_channels=(32, 96, 1280), start_level=0),
+    )
+
+
+@register("detr4d_vovnet_deform")
+def detr4d_vovnet():
+    cfg = _detr4d()
+    return dataclasses.replace(
+        cfg,
+        backbone_type="vovnet",
+        neck=NeckConfig(in_channels=(256, 512, 768, 1024)),
+    )
+
+
+# ------------------------------------------------------- detr3d family
+@register("detr3d_res50")
+def detr3d_res50():
+    """Single-frame DETR3D: 6 cams, single-point cross-attention
+    (configs/detr3d/detr3d_res50.py)."""
+    return ModelConfig(
+        head=HeadConfig(num_cams=6, with_detach=False, attn_type="detr3d"),
+        img_size=(640, 1600),
+    )
+
+
+@register("graph_detr3d_res50")
+def graph_detr3d_res50():
+    """Single-frame Graph-DETR3D: 6 cams with graph deformable sampling
+    (the graph-detr3d branch's model; same head, num_cams=6)."""
+    return ModelConfig(
+        head=HeadConfig(num_cams=6, with_detach=False),
+        img_size=(640, 1600),
+    )
+
+
+# --------------------------------------------------------- petr family
+def _petr(backbone="resnet", img_size=(320, 800), **kw) -> ModelConfig:
+    head = dict(num_cams=6, with_detach=False)
+    head.update(kw)
+    cfg = ModelConfig(
+        head_type="petr", head=HeadConfig(**head), img_size=img_size
+    )
+    if backbone == "vovnet":
+        cfg = dataclasses.replace(
+            cfg,
+            backbone_type="vovnet",
+            neck=NeckConfig(in_channels=(256, 512, 768, 1024)),
+        )
+    return cfg
+
+
+@register("petr_r50dcn_gridmask_p4")
+def petr_r50():
+    return _petr()
+
+
+@register("petr_vovnet_gridmask_p4_800x320")
+def petr_vovnet_800():
+    return _petr(backbone="vovnet")
+
+
+@register("petr_vovnet_gridmask_p4_1600x640")
+def petr_vovnet_1600():
+    return _petr(backbone="vovnet", img_size=(640, 1600))
+
+
+@register("petrv2_res50_gridmask_p4_800x320")
+def petrv2_r50():
+    cfg = _petr(num_cams=12)
+    return dataclasses.replace(cfg, head_type="petrv2")
+
+
+@register("petrv2_vovnet_gridmask_p4_800x320")
+def petrv2_vovnet():
+    cfg = _petr(backbone="vovnet", num_cams=12)
+    return dataclasses.replace(cfg, head_type="petrv2")
+
+
+@register("petrv2_BEVseg")
+def petrv2_bevseg():
+    """PETR + BEV map segmentation (Petr3D_seg + PETRHeadseg)."""
+    cfg = _petr(num_cams=12)
+    return dataclasses.replace(cfg, head_type="petr_seg")
+
+
+# ------------------------------------------------------------- distill
+@dataclasses.dataclass(frozen=True)
+class DistillBundle:
+    """teacher/student configs + distill loss switches, the semantic
+    content of projects/distill_cfg/* (22 ablations collapse to the
+    cls/reg/img/reweight/mix switch matrix)."""
+
+    teacher: ModelConfig
+    student: ModelConfig
+    distill_cls: bool = True
+    distill_reg: bool = True
+    distill_feat: bool = False
+    feat_mode: str = "vanilla"  # 'vanilla' | 'attention'
+    reweight_score: bool = False
+    mix: bool = False  # MixDistill teacher-query guided decode
+
+
+_DISTILL: Dict[str, Callable[[], DistillBundle]] = {}
+
+
+def register_distill(name: str):
+    def deco(fn):
+        _DISTILL[name] = fn
+        return fn
+
+    return deco
+
+
+def list_distill_configs():
+    return sorted(_DISTILL)
+
+
+def get_distill_config(name: str) -> DistillBundle:
+    if name not in _DISTILL:
+        raise KeyError(
+            f"unknown distill config {name!r}; available: "
+            f"{', '.join(list_distill_configs())}"
+        )
+    return _DISTILL[name]()
+
+
+def _r50_r18(**kw):
+    return DistillBundle(
+        teacher=get_config("detr4d_res50_deform_pe_testaug_320_800"),
+        student=get_config("detr4d_res18_deform_pe_testaug_320_2subset"),
+        **kw,
+    )
+
+
+@register_distill("distill_r50_r18_cls_2subset")
+def d_cls():
+    return _r50_r18(distill_cls=True, distill_reg=False)
+
+
+@register_distill("distill_r50_r18_cls_reg_2subset")
+def d_cls_reg():
+    return _r50_r18()
+
+
+@register_distill("distill_r50_r18_reg_reweight_2subset")
+def d_reg_rw():
+    return _r50_r18(distill_cls=False, reweight_score=True)
+
+
+@register_distill("distill_r50_r18_img_2subset")
+def d_img():
+    return _r50_r18(distill_cls=False, distill_reg=False, distill_feat=True)
+
+
+@register_distill("distill_r50_r18_img_att_2subset")
+def d_img_att():
+    return _r50_r18(
+        distill_cls=False,
+        distill_reg=False,
+        distill_feat=True,
+        feat_mode="attention",
+    )
+
+
+@register_distill("mixdistill_r50_r18_cls_reg_2subset")
+def md_cls_reg():
+    return _r50_r18(mix=True)
+
+
+@register_distill("mixdistill_r50_r18_cls_reg_img")
+def md_cls_reg_img():
+    return _r50_r18(mix=True, distill_feat=True)
+
+
+@register_distill("mixdistill_r50_m2_cls_reg_img")
+def md_m2():
+    return DistillBundle(
+        teacher=get_config("detr4d_res50_deform_pe_testaug_320_800"),
+        student=get_config("detr4d_m2_deform_pe_testaug_320_fullset"),
+        mix=True,
+        distill_feat=True,
+    )

@@ -45,6 +45,10 @@ class DistillConfig:
     reweight_score: bool = False  # teacher max-score reweights reg loss
     use_feat_distill: bool = True
     use_instance_distill: bool = True
+    # MixDistill: rerun the student decoder with the teacher's query
+    # embedding table and distill on those guided outputs
+    # (mix_distill.py:102, detr3d_head_pe.py:617-671)
+    mix: bool = False
 
 
 class Distiller(nn.Module):
@@ -72,9 +76,15 @@ class Distiller(nn.Module):
         lidar2img,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        teacher_query_embed: Optional[jnp.ndarray] = None,  # (Qt, 2C) Mix
     ):
         feats = self.student.extract_feats(images, train, rng)
-        outs = self.student.head(feats, lidar2img, deterministic=not train)
+        outs = self.student.head(
+            feats,
+            lidar2img,
+            deterministic=not train,
+            teacher_query_embed=teacher_query_embed,
+        )
         adapted = [
             conv(f) for conv, f in zip(self.lateral_convs, feats)
         ]
@@ -167,6 +177,17 @@ def distill_loss(
         metrics["distill_loss_cls"] = lc
         metrics["distill_loss_reg"] = lr
         total = total + lc + lr
+    if dcfg.mix and "all_cls_scores_guided" in student_outs:
+        guided = {
+            "all_cls_scores": student_outs["all_cls_scores_guided"],
+            "all_bbox_preds": student_outs["all_bbox_preds_guided"],
+        }
+        glc, glr = instance_distill_loss(
+            teacher_outs, guided, cfg.head.pc_range, dcfg
+        )
+        metrics["mix_loss_cls"] = glc
+        metrics["mix_loss_reg"] = glr
+        total = total + glc + glr
     if dcfg.use_feat_distill:
         lf = dcfg.feat_distill_weight * feat_distill_loss(
             [jax.lax.stop_gradient(f) for f in teacher_feats],

@@ -35,6 +35,13 @@ class GraphDETR4D(nn.Module):
                 out_indices=self.cfg.backbone.out_indices,
                 dtype=dtype,
             )
+        elif self.cfg.backbone_type == "mobilenetv2":
+            from .mobilenet import MobileNetV2
+
+            self.backbone = MobileNetV2(
+                out_indices=self.cfg.backbone.out_indices,
+                dtype=dtype,
+            )
         else:
             self.backbone = ResNet(
                 depth=self.cfg.backbone.depth,
@@ -98,6 +105,8 @@ class GraphDETR4D(nn.Module):
         rng: Optional[jax.Array] = None,
         depth_factors: Optional[jnp.ndarray] = None,
         mean_time_stamp: Optional[jnp.ndarray] = None,  # PETRv2 (B,)
+        intrinsics: Optional[jnp.ndarray] = None,  # (B, N, 4, 4) cam_aware
+        ida_scale: Optional[jnp.ndarray] = None,  # (B, N) cam_aware
     ):
         feats = self.extract_feats(images, train, rng)
         if self.cfg.head_type in ("petr", "petrv2", "petr_seg"):
@@ -112,4 +121,6 @@ class GraphDETR4D(nn.Module):
             lidar2img,
             deterministic=not train,
             depth_factors=depth_factors,
+            intrinsics=intrinsics,
+            ida_scale=ida_scale,
         )

@@ -117,10 +117,32 @@ class Detr3DHeadPE(nn.Module):
         lidar2img: jnp.ndarray,  # (B, N, 4, 4)
         deterministic: bool = True,
         depth_factors: Optional[jnp.ndarray] = None,  # (B,) for scale_pred
+        intrinsics: Optional[jnp.ndarray] = None,  # (B, N, 4, 4) cam_aware
+        ida_scale: Optional[jnp.ndarray] = None,  # (B, N) cam_aware
+        teacher_query_embed: Optional[jnp.ndarray] = None,  # (Qt, 2C) Mix
     ):
         cfg = self.cfg
         C = cfg.embed_dims
         B, N = mlvl_feats[0].shape[:2]
+
+        # ---- camera-aware DepthNet modulation applied per level
+        # (Detr3DHeadPECAM, detr3d_head_pe_camaware.py:315-319)
+        if cfg.cam_aware:
+            from .camera_aware import DepthNet
+
+            depth_net = DepthNet(
+                mid_channels=C, context_channels=C, dtype=self.dtype,
+                name="depth_net",
+            )
+            if intrinsics is None:
+                intrinsics = jnp.broadcast_to(
+                    jnp.eye(4, dtype=jnp.float32), (B, N, 4, 4)
+                )
+            if ida_scale is None:
+                ida_scale = jnp.ones((B, N), jnp.float32)
+            mlvl_feats = [
+                depth_net(f, intrinsics, ida_scale) for f in mlvl_feats
+            ]
 
         # ---- temporal detach of past-frame cameras, level 0 only (:512-516)
         if cfg.with_detach and N > cfg.num_frame_cams:
@@ -146,7 +168,8 @@ class Detr3DHeadPE(nn.Module):
             _, _, H, W, _ = feat.shape
             pe3d = self._position_embedding(feat, lidar2img)
             pe = position_encoder(pe3d.astype(self.dtype))
-            pe = fpe(pe, feat)
+            if cfg.with_fpe:
+                pe = fpe(pe, feat)
             # all-valid masks: the fused input pipeline always pads to the
             # exact network size, so mask == 0 everywhere (:524-539)
             mask = jnp.zeros((B, N, H, W), jnp.float32)
@@ -171,27 +194,17 @@ class Detr3DHeadPE(nn.Module):
             g = jnp.zeros((num_q,), jnp.int32)
             g = g.at[cfg.num_query :].set(1)
             self_attn_mask = (g[:, None] == g[None, :])[None, None]
-        query_pos, query = jnp.split(query_embed, 2, axis=-1)
-        query_pos = jnp.broadcast_to(
-            query_pos[None].astype(self.dtype), (B, num_q, C)
-        )
-        query = jnp.broadcast_to(
-            query[None].astype(self.dtype), (B, num_q, C)
-        )
-        reference_points = jax.nn.sigmoid(
-            nn.Dense(
-                3,
-                kernel_init=nn.initializers.xavier_uniform(),
-                dtype=jnp.float32,
-                name="reference_points",
-            )(query_pos.astype(jnp.float32))
+        ref_proj = nn.Dense(
+            3,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=jnp.float32,
+            name="reference_points",
         )
 
-        # ---- decoder loop with per-layer branches (inlined transformer)
-        cls_scores = []
-        bbox_preds = []
-        for lid in range(cfg.num_decoder_layers):
-            query = DecoderLayer(
+        # module instances created once, callable on both the student's own
+        # queries and (MixDistill) the teacher's query embeddings
+        layers = [
+            DecoderLayer(
                 embed_dims=C,
                 num_heads=cfg.num_heads,
                 num_levels=cfg.num_levels,
@@ -200,65 +213,105 @@ class Detr3DHeadPE(nn.Module):
                 ffn_dims=cfg.ffn_dims,
                 pc_range=cfg.pc_range,
                 dropout=cfg.dropout,
+                attn_type=cfg.attn_type,
+                num_neighbors=cfg.num_neighbors,
                 dtype=self.dtype,
                 name=f"decoder_layer{lid}",
-            )(
-                query,
-                query_pos,
-                feats_pe,
-                reference_points,
-                lidar2img,
-                self.img_shape,
-                deterministic=deterministic,
-                self_attn_mask=self_attn_mask,
             )
-
-            score = ClsBranch(
+            for lid in range(cfg.num_decoder_layers)
+        ]
+        cls_branches = [
+            ClsBranch(
                 C,
                 cfg.num_classes,
                 cfg.num_reg_fcs,
                 dtype=self.dtype,
                 name=f"cls_branch{lid}",
-            )(query)
-            tmp = RegBranch(
+            )
+            for lid in range(cfg.num_decoder_layers)
+        ]
+        reg_branches = [
+            RegBranch(
                 C,
                 cfg.code_size,
                 cfg.num_reg_fcs,
                 dtype=self.dtype,
                 name=f"reg_branch{lid}",
-            )(query).astype(jnp.float32)
-
-            # decode w.r.t. the reference *entering* this layer (:587-600)
-            ref = inverse_sigmoid(reference_points)
-            xy = jax.nn.sigmoid(tmp[..., 0:2] + ref[..., 0:2])
-            z = jax.nn.sigmoid(tmp[..., 4:5] + ref[..., 2:3])
-
-            pc = cfg.pc_range
-            cx = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]
-            cy = xy[..., 1:2] * (pc[4] - pc[1]) + pc[1]
-            cz = z * (pc[5] - pc[2]) + pc[2]
-            if cfg.scale_pred and depth_factors is not None:
-                df = depth_factors[:, None, None]
-                cx, cy, cz = cx * df, cy * df, cz * df
-            coord = jnp.concatenate(
-                [cx, cy, tmp[..., 2:4], cz, tmp[..., 5:]], axis=-1
             )
-            cls_scores.append(score.astype(jnp.float32))
-            bbox_preds.append(coord)
+            for lid in range(cfg.num_decoder_layers)
+        ]
 
-            # iterative refinement for the next layer, detached (:201-214)
-            reference_points = jax.lax.stop_gradient(
-                jnp.concatenate([xy, z], axis=-1)
+        def run_decoder(query_embed_2c, attn_mask):
+            """Full decoder stack on a (Qx, 2C) query embedding table."""
+            nq = query_embed_2c.shape[0]
+            query_pos, query = jnp.split(query_embed_2c, 2, axis=-1)
+            query_pos = jnp.broadcast_to(
+                query_pos[None].astype(self.dtype), (B, nq, C)
+            )
+            query = jnp.broadcast_to(
+                query[None].astype(self.dtype), (B, nq, C)
+            )
+            reference_points = jax.nn.sigmoid(
+                ref_proj(query_pos.astype(jnp.float32))
             )
 
-        all_cls = jnp.stack(cls_scores)
-        all_bbox = jnp.stack(bbox_preds)
+            cls_scores, bbox_preds = [], []
+            for lid in range(cfg.num_decoder_layers):
+                query = layers[lid](
+                    query,
+                    query_pos,
+                    feats_pe,
+                    reference_points,
+                    lidar2img,
+                    self.img_shape,
+                    deterministic=deterministic,
+                    self_attn_mask=attn_mask,
+                )
+                score = cls_branches[lid](query)
+                tmp = reg_branches[lid](query).astype(jnp.float32)
+
+                # decode w.r.t. the reference entering this layer (:587-600)
+                ref = inverse_sigmoid(reference_points)
+                xy = jax.nn.sigmoid(tmp[..., 0:2] + ref[..., 0:2])
+                z = jax.nn.sigmoid(tmp[..., 4:5] + ref[..., 2:3])
+
+                pc = cfg.pc_range
+                cx = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+                cy = xy[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+                cz = z * (pc[5] - pc[2]) + pc[2]
+                if cfg.scale_pred and depth_factors is not None:
+                    df = depth_factors[:, None, None]
+                    cx, cy, cz = cx * df, cy * df, cz * df
+                coord = jnp.concatenate(
+                    [cx, cy, tmp[..., 2:4], cz, tmp[..., 5:]], axis=-1
+                )
+                cls_scores.append(score.astype(jnp.float32))
+                bbox_preds.append(coord)
+
+                # iterative refinement, detached (:201-214)
+                reference_points = jax.lax.stop_gradient(
+                    jnp.concatenate([xy, z], axis=-1)
+                )
+            return jnp.stack(cls_scores), jnp.stack(bbox_preds)
+
+        all_cls, all_bbox = run_decoder(query_embed, self_attn_mask)
         if cfg.num_query_one2many > 0:
             # split output groups (h_detr3d_head_pe.py:361-364)
-            return {
+            out = {
                 "all_cls_scores": all_cls[:, :, : cfg.num_query],
                 "all_bbox_preds": all_bbox[:, :, : cfg.num_query],
                 "all_cls_scores_one2many": all_cls[:, :, cfg.num_query :],
                 "all_bbox_preds_one2many": all_bbox[:, :, cfg.num_query :],
             }
-        return {"all_cls_scores": all_cls, "all_bbox_preds": all_bbox}
+        else:
+            out = {"all_cls_scores": all_cls, "all_bbox_preds": all_bbox}
+
+        if teacher_query_embed is not None:
+            # MixDistill: decode a second time with the teacher's query
+            # embedding table (mix_distill.py:102, detr3d_head_pe.py:617-671)
+            g_cls, g_bbox = run_decoder(
+                jax.lax.stop_gradient(teacher_query_embed), None
+            )
+            out["all_cls_scores_guided"] = g_cls
+            out["all_bbox_preds_guided"] = g_bbox
+        return out

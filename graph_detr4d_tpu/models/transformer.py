@@ -49,6 +49,9 @@ class DecoderLayer(nn.Module):
     ffn_dims: int
     pc_range: Tuple[float, ...]
     dropout: float = 0.1
+    # 'deform3d' | 'deform3d_mp' | 'detr3d' (HeadConfig.attn_type)
+    attn_type: str = "deform3d"
+    num_neighbors: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,26 +79,96 @@ class DecoderLayer(nn.Module):
         )
         query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query)
 
-        # graph deformable cross attention (handles its own residual/pos MLP)
-        query = Deform3DCrossAttn(
-            embed_dims=self.embed_dims,
-            num_heads=self.num_heads,
-            num_levels=self.num_levels,
-            num_points=self.num_points,
-            num_cams=self.num_cams,
-            pc_range=self.pc_range,
-            dropout=self.dropout,
-            dtype=self.dtype,
-            name="cross_attn",
-        )(
-            query,
-            value_levels,
-            query_pos,
-            reference_points,
-            lidar2img,
-            img_shape,
-            deterministic=deterministic,
-        )
+        # graph cross attention (handles its own residual/pos MLP)
+        if self.attn_type == "deform3d":
+            query = Deform3DCrossAttn(
+                embed_dims=self.embed_dims,
+                num_heads=self.num_heads,
+                num_levels=self.num_levels,
+                num_points=self.num_points,
+                num_cams=self.num_cams,
+                pc_range=self.pc_range,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name="cross_attn",
+            )(
+                query,
+                value_levels,
+                query_pos,
+                reference_points,
+                lidar2img,
+                img_shape,
+                deterministic=deterministic,
+            )
+        elif self.attn_type == "deform3d_mp":
+            from .attention_variants import Deform3DCrossAttnMP
+
+            # graph construction: each query's K nearest *other* queries'
+            # reference points become its precomputed neighbor nodes.
+            # (The reference's MP decoder class is absent from its checkout
+            # — Detr3DTransformerDecoderMP is referenced by
+            # configs/detr4d/detr4d_res50_mp.py:60 but never defined — so
+            # the neighbor source is reconstructed from the Graph-DETR3D
+            # paper's query-graph definition.)
+            ref = reference_points  # (B, Q, 3)
+            d2 = jnp.sum(
+                (ref[:, :, None, :] - ref[:, None, :, :]) ** 2, -1
+            )
+            Q = ref.shape[1]
+            d2 = d2 + jnp.eye(Q, dtype=d2.dtype) * 1e9  # exclude self
+            _, nbr_idx = jax.lax.top_k(-d2, self.num_neighbors)  # nearest
+            nbrs = jnp.take_along_axis(
+                ref[:, None, :, :],
+                nbr_idx[..., None].repeat(3, axis=-1)[:, :, :, :],
+                axis=2,
+            )  # (B, Q, K, 3)
+            nbrs = nbrs.transpose(0, 2, 1, 3).reshape(
+                ref.shape[0], -1, 3
+            )  # (B, K*Q, 3) — neighbor-major, matching ref[:, Q:] layout
+            ref_all = jnp.concatenate([ref, nbrs], axis=1)
+            query = Deform3DCrossAttnMP(
+                embed_dims=self.embed_dims,
+                num_heads=self.num_heads,
+                num_levels=self.num_levels,
+                num_points=self.num_points,
+                num_cams=self.num_cams,
+                num_neighbors=self.num_neighbors,
+                pc_range=self.pc_range,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name="cross_attn",
+            )(
+                query,
+                value_levels,
+                query_pos,
+                ref_all,
+                lidar2img,
+                img_shape,
+                deterministic=deterministic,
+            )
+        elif self.attn_type == "detr3d":
+            from .attention_variants import Detr3DCrossAtten
+
+            query = Detr3DCrossAtten(
+                embed_dims=self.embed_dims,
+                num_levels=self.num_levels,
+                num_points=1,
+                num_cams=self.num_cams,
+                pc_range=self.pc_range,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name="cross_attn",
+            )(
+                query,
+                value_levels,
+                query_pos,
+                reference_points,
+                lidar2img,
+                img_shape,
+                deterministic=deterministic,
+            )
+        else:
+            raise ValueError(f"unknown attn_type {self.attn_type!r}")
         query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
 
         query = FFN(

@@ -21,6 +21,67 @@ from typing import Sequence
 import jax.numpy as jnp
 
 
+def _sample_level_shift4(value, loc, attn):
+    """Gather + weight one pyramid level with the 4 bilinear corners folded
+    into ONE gather row (shifted-concat layout).
+
+    TPU gathers are row-count bound (~11-17 ns/row on v5e regardless of row
+    width up to ~1 KB), so fetching each sample's 2x2 corner block as a
+    single (4*hd)-wide row from a precomputed shifted copy of the feature
+    map cuts the dominant cost 4x vs. four separate corner gathers.
+
+    Args/returns identical to `_sample_level`.
+    """
+    B, H, W, nheads, hd = value.shape
+    S = loc.shape[1]
+    dtype = value.dtype
+
+    # padded grid: index (y0+1, x0+1) is valid for all samples with any
+    # in-bounds corner (x0 in [-1, W-1], y0 in [-1, H-1]); zero borders
+    # implement the zero-padding bilinear convention.
+    vpad = jnp.pad(value, ((0, 0), (1, 2), (1, 2), (0, 0), (0, 0)))
+    # corners (dy, dx) in row-major order: (0,0), (0,1), (1,0), (1,1)
+    vcat = jnp.stack(
+        [
+            vpad[:, 0 : H + 2, 0 : W + 2],
+            vpad[:, 0 : H + 2, 1 : W + 3],
+            vpad[:, 1 : H + 3, 0 : W + 2],
+            vpad[:, 1 : H + 3, 1 : W + 3],
+        ],
+        axis=-2,
+    )  # (B, H+2, W+2, nheads, 4, hd)
+    Hp, Wp = H + 2, W + 2
+    vflat = vcat.reshape(B, Hp * Wp, nheads, 4 * hd)
+
+    x = loc[..., 0].astype(jnp.float32) * W - 0.5
+    y = loc[..., 1].astype(jnp.float32) * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+
+    # per-corner bilinear weights x in-bounds masks, folded with attn
+    w_y = jnp.stack([1.0 - ly, 1.0 - ly, ly, ly], axis=-1)
+    w_x = jnp.stack([1.0 - lx, lx, 1.0 - lx, lx], axis=-1)
+    dy = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    dx = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+    cx = x0[..., None] + dx
+    cy = y0[..., None] + dy
+    inb = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+    w = w_y * w_x * inb.astype(jnp.float32) * attn.astype(jnp.float32)[
+        ..., None
+    ]  # (B, S, nheads, 4)
+
+    iy = jnp.clip(y0 + 1, 0, Hp - 1)
+    ix = jnp.clip(x0 + 1, 0, Wp - 1)
+    idx = (iy * Wp + ix).astype(jnp.int32)
+    g = jnp.take_along_axis(vflat, idx[..., None], axis=1)
+    g = g.reshape(B, S, nheads, 4, hd)
+    return jnp.einsum(
+        "bsnc,bsnch->bsnh", w.astype(dtype), g
+    )
+
+
 def _sample_level(value, loc, attn):
     """Gather + weight one pyramid level.
 
@@ -60,6 +121,7 @@ def multi_scale_deformable_attention(
     values: Sequence[jnp.ndarray],
     locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    impl: str = "shift4",
 ) -> jnp.ndarray:
     """Multi-scale deformable attention over a feature pyramid.
 
@@ -76,6 +138,7 @@ def multi_scale_deformable_attention(
     B, Q, nheads, L, P, _ = locations.shape
     assert len(values) == L, (len(values), L)
     hd = values[0].shape[-1]
+    sample = _sample_level_shift4 if impl == "shift4" else _sample_level
     out = jnp.zeros((B, Q * P, nheads, hd), dtype=values[0].dtype)
     for lvl in range(L):
         loc = locations[:, :, :, lvl].transpose(0, 1, 3, 2, 4).reshape(
@@ -84,7 +147,7 @@ def multi_scale_deformable_attention(
         attn = attention_weights[:, :, :, lvl].transpose(0, 1, 3, 2).reshape(
             B, Q * P, nheads
         )
-        out = out + _sample_level(values[lvl], loc, attn)
+        out = out + sample(values[lvl], loc, attn)
     # sum over points
     out = out.reshape(B, Q, P, nheads, hd).sum(axis=2)
     return out.reshape(B, Q, nheads * hd)

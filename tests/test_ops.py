@@ -165,3 +165,41 @@ def test_focal_loss_weights_and_avg_factor():
     labels = jnp.asarray(RNG.randint(0, 5, size=(8,)))
     w = jnp.zeros((8,))
     assert float(sigmoid_focal_loss(logits, labels, w, avg_factor=3.0)) == 0.0
+
+
+def test_msda_shift4_matches_gather4():
+    """The single-gather shifted-concat fast path (ops/msda.py
+    _sample_level_shift4) is numerically identical to the four-corner
+    reference formulation, including out-of-range locations."""
+    rng = np.random.RandomState(3)
+    shapes = [(13, 29), (7, 15), (4, 8)]
+    values = [
+        jnp.asarray(rng.randn(2, h, w, 4, 8), jnp.float32)
+        for h, w in shapes
+    ]
+    loc = jnp.asarray(
+        rng.uniform(-0.4, 1.4, (2, 10, 4, 3, 3, 2)), jnp.float32
+    )
+    attn = jnp.asarray(rng.rand(2, 10, 4, 3, 3), jnp.float32)
+    a = multi_scale_deformable_attention(values, loc, attn, impl="gather4")
+    b = multi_scale_deformable_attention(values, loc, attn, impl="shift4")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_msda_shift4_grad_matches():
+    rng = np.random.RandomState(4)
+    values = [jnp.asarray(rng.randn(1, 9, 11, 2, 4), jnp.float32)]
+    loc = jnp.asarray(rng.uniform(0, 1, (1, 5, 2, 1, 2, 2)), jnp.float32)
+    attn = jnp.asarray(rng.rand(1, 5, 2, 1, 2), jnp.float32)
+
+    def f(impl):
+        def loss(v):
+            return multi_scale_deformable_attention(
+                [v], loc, attn, impl=impl
+            ).sum()
+
+        return jax.grad(loss)(values[0])
+
+    np.testing.assert_allclose(
+        np.asarray(f("gather4")), np.asarray(f("shift4")), atol=1e-5
+    )

@@ -1,0 +1,183 @@
+"""Distillation train CLI (reference: tools/distill_train.py +
+apis/mmdet_distill_train.py:37-174).
+
+  python tools/distill_train.py --config mixdistill_r50_r18_cls_reg_2subset \
+      [--teacher-checkpoint DIR] [--synthetic] [--steps N]
+
+One process drives the mesh; the teacher is frozen (its params never enter
+the grad computation — the optimizer scope is student + lateral convs,
+matching mmdet_distill_train.py:88-92's base_parameters()).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--config",
+        default="mixdistill_r50_r18_cls_reg_2subset",
+        help="named distill config (graph_detr4d_tpu.configs registry)",
+    )
+    p.add_argument("--teacher-checkpoint", default=None, help="orbax dir")
+    p.add_argument("--work-dir", default="work_dirs/distill")
+    p.add_argument("--ann-file", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true", help="tiny smoke configs")
+    p.add_argument("--log-interval", type=int, default=50)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    import dataclasses
+    import json
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from graph_detr4d_tpu.config import tiny_test_config
+    from graph_detr4d_tpu.configs import get_distill_config, DistillBundle
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.distill import Distiller, DistillConfig, distill_loss
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+    from graph_detr4d_tpu.train.checkpoint import CheckpointManager
+    from graph_detr4d_tpu.train.optim import build_optimizer
+
+    if args.tiny:
+        t_cfg = s_cfg = tiny_test_config()
+        bundle = DistillBundle(teacher=t_cfg, student=s_cfg, mix=True)
+    else:
+        bundle = get_distill_config(args.config)
+        t_cfg, s_cfg = bundle.teacher, bundle.student
+
+    dcfg = DistillConfig(
+        use_instance_distill=bundle.distill_cls or bundle.distill_reg,
+        cls_distill_weight=1.0 if bundle.distill_cls else 0.0,
+        reg_distill_weight=0.25 if bundle.distill_reg else 0.0,
+        use_feat_distill=bundle.distill_feat,
+        feat_distill_kind=bundle.feat_mode,
+        reweight_score=bundle.reweight_score,
+        mix=bundle.mix,
+    )
+
+    teacher = GraphDETR4D(t_cfg)
+    batch0 = synthetic_batch(t_cfg, batch_size=1, seed=0)
+    imgs0 = jnp.asarray(batch0["images"])
+    l2i0 = jnp.asarray(batch0["lidar2img"])
+    tvars = teacher.init({"params": jax.random.PRNGKey(0)}, imgs0, l2i0)
+    if args.teacher_checkpoint:
+        mngr = CheckpointManager(args.teacher_checkpoint, t_cfg)
+        params = mngr.load_weights(
+            jax.tree.map(np.asarray, tvars["params"])
+        )
+        if params is not None:
+            tvars = dict(tvars)
+            tvars["params"] = params
+            print(f"loaded teacher weights from {args.teacher_checkpoint}")
+    t_qe = tvars["params"]["head"]["query_embedding"] if bundle.mix else None
+
+    dist = Distiller(
+        student_cfg=s_cfg, teacher_feat_channels=t_cfg.neck.out_channels
+    )
+    dvars = dist.init(
+        {"params": jax.random.PRNGKey(1)},
+        imgs0,
+        l2i0,
+        teacher_query_embed=t_qe,
+    )
+
+    tx = build_optimizer(s_cfg.train)
+    opt_state = tx.init(dvars["params"])
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        imgs = batch["images"]
+        l2i = batch["lidar2img"]
+        t_feats = teacher.apply(
+            tvars, imgs, False, None, method=GraphDETR4D.extract_feats
+        )
+        t_outs = teacher.apply(tvars, imgs, l2i)
+
+        def loss_fn(p):
+            variables = {**dvars, "params": p}
+            s_outs, adapted = dist.apply(
+                variables,
+                imgs,
+                l2i,
+                train=True,
+                rng=rng,
+                teacher_query_embed=t_qe,
+                rngs={"dropout": rng},
+            )
+            return distill_loss(
+                s_outs,
+                adapted,
+                t_outs,
+                [jax.lax.stop_gradient(f) for f in t_feats],
+                batch["gt_bboxes"],
+                batch["gt_labels"],
+                batch["gt_valid"],
+                s_cfg,
+                dcfg,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    log_path = os.path.join(args.work_dir, "distill_log.jsonl")
+    ckpt = CheckpointManager(
+        os.path.join(args.work_dir, "checkpoints"), s_cfg
+    )
+    params = dvars["params"]
+    rng = jax.random.PRNGKey(args.seed + 2)
+    t0 = time.time()
+    for step in range(args.steps):
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in synthetic_batch(
+                t_cfg, batch_size=args.batch_size or 1, seed=step
+            ).items()
+        }
+        rng, sub = jax.random.split(rng)
+        params, opt_state, metrics = train_step(
+            params, opt_state, batch, sub
+        )
+        if (step + 1) % args.log_interval == 0 or step == 0:
+            rec = {"step": step + 1}
+            rec.update({k: float(v) for k, v in metrics.items()})
+            rec["iter_time"] = (time.time() - t0) / (step + 1)
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(rec)
+    # save the bare student subtree so tools/test.py / distill_test.py can
+    # load it into a plain GraphDETR4D (the lateral adapters are
+    # distillation-only, mmdet_distill_train.py:88-92)
+    ckpt.save_weights(
+        args.steps, jax.tree.map(np.asarray, params["student"])
+    )
+    print(f"saved student to {args.work_dir}/checkpoints")
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None, help="named config")
+    p.add_argument("--cfg-options", nargs="*", default=None)
     p.add_argument("--ann-file", required=False, default=None)
     p.add_argument("--checkpoint", default=None, help="orbax ckpt dir")
     p.add_argument("--work-dir", default="work_dirs/detr4d")
@@ -42,9 +44,14 @@ def main():
     from graph_detr4d_tpu.eval import DetectionEvaluator
     from graph_detr4d_tpu.data.synthetic import synthetic_batch
 
-    cfg = tiny_test_config() if args.tiny else ModelConfig(
-        img_size=(args.img_h, args.img_w)
-    )
+    if args.tiny:
+        cfg = tiny_test_config()
+    elif args.config:
+        from graph_detr4d_tpu.configs import get_config
+
+        cfg = get_config(args.config, overrides=args.cfg_options)
+    else:
+        cfg = ModelConfig(img_size=(args.img_h, args.img_w))
     model = GraphDETR4D(cfg)
     state = init_state(model, cfg, jax.random.PRNGKey(0))
     if args.checkpoint:

@@ -17,6 +17,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument(
+        "--config",
+        default=None,
+        help="named config (graph_detr4d_tpu.configs registry; the "
+        "reference's config-file path becomes a name here)",
+    )
+    p.add_argument(
+        "--cfg-options",
+        nargs="*",
+        default=None,
+        help="dot-path overrides, e.g. head.num_query=600 bf16=False",
+    )
     p.add_argument("--ann-file", default=None, help="nuScenes infos pkl")
     p.add_argument("--work-dir", default="work_dirs/detr4d")
     p.add_argument("--synthetic", action="store_true")
@@ -47,8 +59,16 @@ def main():
 
     if args.tiny:
         cfg = tiny_test_config()
+    elif args.config:
+        from graph_detr4d_tpu.configs import get_config
+
+        cfg = get_config(args.config, overrides=args.cfg_options)
     else:
         cfg = ModelConfig(img_size=(args.img_h, args.img_w))
+        if args.cfg_options:
+            from graph_detr4d_tpu.configs import apply_overrides
+
+            cfg = apply_overrides(cfg, args.cfg_options)
     n_dev = len(jax.devices())
     batch_size = args.batch_size or n_dev
     model = GraphDETR4D(cfg)

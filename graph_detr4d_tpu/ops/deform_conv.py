@@ -7,8 +7,12 @@ mmcv's ModulatedDeformConv2d: per output pixel and kernel tap, a learned
 zero padding, scaled by a sigmoid modulation mask, then contracted with the
 conv weight.
 
-Formulated as K taps x 4 corner gathers over the flattened H*W axis plus a
-single (K*Cin, Cout) matmul that lands on the MXU.
+Formulated as K taps x ONE gather each over a shifted-concat copy of the
+input (the 4 bilinear corners of a tap live in a single gathered row — TPU
+gathers are row-count-bound, so folding corners is ~4x cheaper than four
+separate gathers; see ops/msda.py), plus a single (K*Cin, Cout) matmul
+that lands on the MXU. The shifted copy is built once per conv and shared
+by all K taps.
 """
 
 import jax.numpy as jnp
@@ -43,7 +47,23 @@ def deform_conv2d(
     base_y = ys[:, None]  # (Ho, 1)
     base_x = xs[None, :]  # (1, Wo)
 
-    xflat = x.reshape(B, H * W, Cin)
+    # shifted-concat copy: one gathered row at (y0+1, x0+1) holds all four
+    # bilinear corners; zero borders implement zero-padding sampling
+    xpad = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    xcat = jnp.stack(
+        [
+            xpad[:, 0 : H + 2, 0 : W + 2],
+            xpad[:, 0 : H + 2, 1 : W + 3],
+            xpad[:, 1 : H + 3, 0 : W + 2],
+            xpad[:, 1 : H + 3, 1 : W + 3],
+        ],
+        axis=-2,
+    )  # (B, H+2, W+2, 4, Cin)
+    Hp, Wp = H + 2, W + 2
+    xcat = xcat.reshape(B, Hp * Wp, 4 * Cin)
+
+    cdy = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    cdx = jnp.asarray([0.0, 1.0, 0.0, 1.0])
     cols = []
     for k in range(K):
         ky, kx = divmod(k, kernel_size)
@@ -51,21 +71,22 @@ def deform_conv2d(
         px = base_x[None] + kx + offsets[..., k, 1].astype(jnp.float32)
         y0 = jnp.floor(py)
         x0 = jnp.floor(px)
-        ly = (py - y0).astype(dtype)
-        lx = (px - x0).astype(dtype)
-        acc = jnp.zeros((B, Ho, Wo, Cin), dtype=dtype)
-        for dy, wy in ((0, 1.0 - ly), (1, ly)):
-            for dx, wx in ((0, 1.0 - lx), (1, lx)):
-                yi = y0 + dy
-                xi = x0 + dx
-                inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-                idx = (
-                    jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-                ).astype(jnp.int32)
-                g = jnp.take_along_axis(
-                    xflat, idx.reshape(B, Ho * Wo, 1), axis=1
-                ).reshape(B, Ho, Wo, Cin)
-                acc = acc + g * (wy * wx * inb.astype(dtype))[..., None]
+        ly = py - y0
+        lx = px - x0
+        w_y = jnp.stack([1.0 - ly, 1.0 - ly, ly, ly], -1)
+        w_x = jnp.stack([1.0 - lx, lx, 1.0 - lx, lx], -1)
+        cy = y0[..., None] + cdy
+        cx = x0[..., None] + cdx
+        inb = (cy >= 0) & (cy < H) & (cx >= 0) & (cx < W)
+        w = (w_y * w_x * inb.astype(jnp.float32)).astype(dtype)
+
+        iy = jnp.clip(y0 + 1, 0, Hp - 1)
+        ix = jnp.clip(x0 + 1, 0, Wp - 1)
+        idx = (iy * Wp + ix).astype(jnp.int32)
+        g = jnp.take_along_axis(
+            xcat, idx.reshape(B, Ho * Wo, 1), axis=1
+        ).reshape(B, Ho, Wo, 4, Cin)
+        acc = jnp.einsum("bhwc,bhwcd->bhwd", w, g)
         cols.append(acc * mask[..., k : k + 1].astype(dtype))
     patches = jnp.stack(cols, axis=3)  # (B, Ho, Wo, K, Cin)
     out = jnp.einsum(

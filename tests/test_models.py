@@ -239,3 +239,45 @@ def test_decode_batch(model_and_vars):
     det = decode_batch(out, max_num=CFG.coder.max_num)
     assert det.bboxes.shape == (1, CFG.coder.max_num, 9)
     assert det.valid.dtype == jnp.bool_
+
+
+def test_dcn_fractional_offsets_match_numpy_oracle():
+    """Shifted-concat DCNv2 vs a literal per-pixel bilinear oracle."""
+    from graph_detr4d_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.RandomState(5)
+    B, H, W, Cin, Cout = 1, 7, 9, 3, 5
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    off = rng.uniform(-2, 2, (B, H, W, 9, 2)).astype(np.float32)
+    mask = rng.rand(B, H, W, 9).astype(np.float32)
+    w = rng.randn(9, Cin, Cout).astype(np.float32)
+    got = np.asarray(
+        deform_conv2d(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(mask),
+            jnp.asarray(w),
+        )
+    )
+
+    def bil(img, py, px):
+        Hh, Ww, C = img.shape
+        y0, x0 = int(np.floor(py)), int(np.floor(px))
+        ly, lx = py - y0, px - x0
+        out = np.zeros(C)
+        for dy, wy in ((0, 1 - ly), (1, ly)):
+            for dx, wx in ((0, 1 - lx), (1, lx)):
+                yi, xi = y0 + dy, x0 + dx
+                if 0 <= yi < Hh and 0 <= xi < Ww:
+                    out += wy * wx * img[yi, xi]
+        return out
+
+    want = np.zeros_like(got)
+    for i in range(H):
+        for j in range(W):
+            for k in range(9):
+                ky, kx = divmod(k, 3)
+                py = i - 1 + ky + off[0, i, j, k, 0]
+                px = j - 1 + kx + off[0, i, j, k, 1]
+                want[0, i, j] += mask[0, i, j, k] * (
+                    bil(x[0], py, px) @ w[k]
+                )
+    np.testing.assert_allclose(got, want, atol=1e-5)

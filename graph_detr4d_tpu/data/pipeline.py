@@ -202,6 +202,59 @@ def photometric_distortion(
     return np.clip(img, 0, 255)
 
 
+def scale_aware_resize(
+    imgs: Sequence[np.ndarray],
+    lidar2img: np.ndarray,  # (N, 4, 4)
+    intrinsics: np.ndarray,  # (N, 4, 4)
+    resize_factor: float,
+    scale_depth_by_focal_lengths_factor: float = 500.0,
+):
+    """Scale-aware resize (RandomResizeMultiViewImage_SimpleDA/_range,
+    transform_3d.py:880-1035): resize images by one global factor, derive
+    per-camera `depth_factors` from the resized inverse intrinsics'
+    pixel size, and rewrite lidar2img = S @ L @ D.
+
+    Quirk preserved from the reference (:938-941, :1026): the depth-factor
+    matrix applied to EVERY camera's lidar2img is camera 0's (the
+    `depth_factors_mat[0]` in the zip-comprehension).
+
+    Returns (resized imgs, new lidar2img (N,4,4), depth_factors (N,),
+    ida_mat (4,4)).
+    """
+    N = lidar2img.shape[0]
+    h, w = imgs[0].shape[:2]
+    th = int(np.around(h * resize_factor))
+    tw = int(np.around(w * resize_factor))
+    out_imgs = [_resize_img(im, (th, tw)) for im in imgs]
+
+    S = np.eye(4)
+    S[0, 0] = S[1, 1] = resize_factor
+    cam2img = [S @ intrinsics[i] for i in range(N)]
+    depth_factors = np.asarray(
+        [
+            1.0
+            / (
+                np.linalg.norm(
+                    np.stack(
+                        [np.linalg.inv(c)[0, 0], np.linalg.inv(c)[1, 1]]
+                    )
+                )
+                * scale_depth_by_focal_lengths_factor
+            )
+            for c in cam2img
+        ],
+        np.float32,
+    )
+    D0 = np.eye(4)
+    D0[0, 0] = D0[1, 1] = D0[2, 2] = depth_factors[0]
+    new_l2i = np.asarray(
+        [S @ lidar2img[i] @ D0 for i in range(N)], np.float32
+    )
+    ida_mat = np.eye(4, dtype=np.float32)
+    ida_mat[0, 0] = ida_mat[1, 1] = resize_factor
+    return out_imgs, new_l2i, depth_factors, ida_mat
+
+
 def build_batch(
     samples: Sequence[dict],
     final_hw: Tuple[int, int],

@@ -166,3 +166,32 @@ def test_dataset_reader_synthetic_pkl(tmp_path):
     s1 = ds_test.sample(1)
     s2 = ds_test.sample(1)
     np.testing.assert_array_equal(s1["lidar2img"], s2["lidar2img"])
+
+
+def test_scale_aware_resize_identity_and_scaling():
+    """SimpleDA scale-aware resize (transform_3d.py:880-1035): with
+    resize_factor=1 and focal length 500*sqrt(2), the depth factor is
+    exactly 1 and lidar2img is unchanged; with other factors the images
+    resize and depth_factors scale with focal length."""
+    from graph_detr4d_tpu.data.pipeline import scale_aware_resize
+
+    rng = np.random.RandomState(0)
+    N = 3
+    f = 500.0 * np.sqrt(2.0)
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = f
+    intr = np.stack([K] * N)
+    l2i = rng.randn(N, 4, 4).astype(np.float32)
+    imgs = [rng.rand(64, 128, 3).astype(np.float32) for _ in range(N)]
+
+    out, new_l2i, df, ida = scale_aware_resize(imgs, l2i, intr, 1.0)
+    np.testing.assert_allclose(df, np.ones(N), rtol=1e-6)
+    np.testing.assert_allclose(new_l2i, l2i, rtol=1e-5)
+    assert out[0].shape == (64, 128, 3)
+    np.testing.assert_allclose(ida, np.eye(4))
+
+    out2, l2i2, df2, ida2 = scale_aware_resize(imgs, l2i, intr, 0.5)
+    assert out2[0].shape == (32, 64, 3)
+    # halving resolution halves effective focal -> halves depth factor
+    np.testing.assert_allclose(df2, 0.5 * np.ones(N), rtol=1e-6)
+    assert ida2[0, 0] == 0.5

@@ -75,7 +75,8 @@ class HeadConfig:
     k_one2many: int = 6
     lambda_one2many: float = 2.0
     # cross-attention variant: 'deform3d' (Deform3DCrossAttn, flagship) |
-    # 'deform3d_mp' (graph multi-point) | 'detr3d' (single-point DETR3D)
+    # 'deform3d_mp' (graph multi-point) | 'detr3d' (single-point DETR3D) |
+    # 'detr3d_v2' (learned 2D image-plane offsets)
     attn_type: str = "deform3d"
     num_neighbors: int = 8  # graph neighbors for 'deform3d_mp'
     with_fpe: bool = True  # SE gate on the 3D PE (detr3d_head_pe.py:546-553)

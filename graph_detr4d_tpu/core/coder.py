@@ -48,6 +48,33 @@ def nms_free_decode(
     return Detections(boxes, top_scores, labels, valid)
 
 
+def nms_free_cls_decode(
+    cls_scores: jnp.ndarray,  # (Q, num_classes+1) logits incl. background
+    bbox_preds: jnp.ndarray,  # (Q, 10) codes
+    *,
+    max_num: int = 300,
+    post_center_range=(-61.2, -61.2, -10.0, 61.2, 61.2, 10.0),
+    score_threshold: float | None = None,
+) -> Detections:
+    """Softmax variant (NMSFreeClsCoder, nms_free_coder.py:125-233):
+    per-query softmax over classes incl. background, drop background,
+    take the max class per query, then a flat top-k over queries."""
+    probs = jax.nn.softmax(cls_scores.astype(jnp.float32), axis=-1)[..., :-1]
+    per_q_score = probs.max(-1)
+    per_q_label = probs.argmax(-1).astype(jnp.int32)
+    top_scores, idx = jax.lax.top_k(per_q_score, max_num)
+    labels = per_q_label[idx]
+    boxes = denormalize_bbox(bbox_preds[idx])
+
+    pcr = jnp.asarray(post_center_range, jnp.float32)
+    valid = (boxes[..., :3] >= pcr[:3]).all(-1) & (
+        boxes[..., :3] <= pcr[3:]
+    ).all(-1)
+    if score_threshold is not None:
+        valid &= top_scores > score_threshold
+    return Detections(boxes, top_scores, labels, valid)
+
+
 def decode_batch(preds: dict, **kw):
     """Decode the final decoder layer for a whole batch via vmap."""
     cls_scores = preds["all_cls_scores"][-1]

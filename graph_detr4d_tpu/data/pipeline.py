@@ -44,8 +44,24 @@ def _resize_img(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
         ).astype(img.dtype)
 
 
-def load_image(path: str) -> np.ndarray:
-    """RGB uint8 HWC."""
+def load_image(path: str, file_client=None) -> np.ndarray:
+    """RGB uint8 HWC. `file_client` (data/storage.py FileClient) routes the
+    read through the configured backend / path remap (petrel-FileClient
+    parity, loading.py:42,81-82); None = plain local read."""
+    if file_client is not None:
+        import io
+
+        data = file_client.get(path)
+        try:
+            import cv2
+
+            buf = np.frombuffer(data, np.uint8)
+            bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            return bgr[..., ::-1].copy()
+        except ImportError:  # pragma: no cover
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     try:
         import cv2
 

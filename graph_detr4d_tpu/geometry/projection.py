@@ -65,3 +65,20 @@ def project_points_to_cameras(
         & (loc[..., 1:2] < 1.0)
     )
     return loc, valid[..., 0].astype(points.dtype)
+
+
+def points_img2cam(points, cam2img):
+    """2.5D image points (u, v, depth) -> 3D camera coordinates
+    (core/bbox/util.py points_img2cam:5-35). cam2img may be (3,3)/(3,4)/
+    (4,4); padded to 4x4 before inversion."""
+    points = jnp.asarray(points, jnp.float32)
+    cam2img = jnp.asarray(cam2img, jnp.float32)
+    pad = jnp.eye(4, dtype=jnp.float32)
+    pad = pad.at[: cam2img.shape[0], : cam2img.shape[1]].set(cam2img)
+    xys = points[:, :2]
+    depths = points[:, 2:3]
+    unnormed = jnp.concatenate([xys * depths, depths], axis=1)
+    homo = jnp.concatenate(
+        [unnormed, jnp.ones_like(depths)], axis=1
+    )
+    return (homo @ jnp.linalg.inv(pad).T)[:, :3]

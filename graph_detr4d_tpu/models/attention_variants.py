@@ -293,3 +293,132 @@ class Deform3DCrossAttnMP(nn.Module):
             C, dtype=self.dtype, name="position_encoder"
         )(ref_center)
         return out + residual + pos_feat
+
+
+class Detr3DCrossAttenV2(nn.Module):
+    """DETR3D cross-attention + learned 2D image-plane offsets
+    (detr3d_transformer.py:441-710).
+
+    Per (camera, head, level, point) a learned 2D offset (circular-bias
+    deformable-DETR init, :527-541) perturbs the projected reference point
+    in normalized [-1, 1] image coordinates, scaled by each level's own
+    (W, H) (:699-702); attention logits softmax over (levels*points) per
+    (cam, head) (:603-604) then multiply the center-projection validity
+    mask; sampled features sum over points/levels/cams.
+    """
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    num_cams: int = 6
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query,  # (B, Q, C)
+        value_levels,  # L x (B, N, H, W, C)
+        query_pos,
+        reference_points,  # (B, Q, 3) in [0,1]
+        lidar2img,  # (B, N, 4, 4)
+        img_shape,
+        deterministic: bool = True,
+    ):
+        B, Q, C = query.shape
+        N, HH, L, P = (
+            self.num_cams,
+            self.num_heads,
+            self.num_levels,
+            self.num_points,
+        )
+        hd = C // HH
+        residual = query
+        q = query + query_pos
+
+        def _v2_offset_bias(key, shape, dtype=jnp.float32):
+            import numpy as np
+
+            thetas = np.arange(HH, dtype=np.float32) * (
+                2.0 * math.pi / HH
+            )
+            grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+            grid = grid / np.abs(grid).max(-1, keepdims=True)
+            grid = np.tile(grid[None, :, None, None, :], (N, 1, L, P, 1))
+            for i in range(P):
+                grid[:, :, :, i, :] *= i + 1
+            return jnp.asarray(grid.reshape(-1), dtype)
+
+        attn = nn.Dense(
+            N * HH * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(q).reshape(B, Q, N, HH, L * P)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).reshape(
+            B, Q, N, HH, L, P
+        )
+        offsets = nn.Dense(
+            N * HH * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_v2_offset_bias,
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(q).reshape(B, Q, N, HH, L, P, 2).astype(jnp.float32)
+
+        # center projection in [0, 1] + per-cam validity (:666-685)
+        ref_metric = denormalize_points(
+            reference_points.astype(jnp.float32), self.pc_range
+        )
+        center01, mask = project_to_cams(ref_metric, lidar2img, img_shape)
+        # (B, N, Q, ...) -> (B, Q, N, ...)
+        center01 = center01.transpose(0, 2, 1, 3)
+        mask = mask.transpose(0, 2, 1)  # (B, Q, N)
+        attn = attn * mask[..., None, None, None]
+
+        # per-level sampling locations: center + off / (2*W_l, 2*H_l)
+        # (the reference's [-1,1]-space offset/(W,H), :699-702, halves in
+        # [0,1] space)
+        vproj_levels = []
+        loc_levels = []
+        for lvl, v in enumerate(value_levels):
+            Wl, Hl = v.shape[3], v.shape[2]
+            norm = jnp.asarray([2.0 * Wl, 2.0 * Hl], jnp.float32)
+            loc_levels.append(
+                center01[:, :, :, None, None, :]
+                + offsets[:, :, :, :, lvl] / norm
+            )  # (B, Q, N, HH, P, 2)
+            vproj_levels.append(
+                v.reshape(B * N, v.shape[2], v.shape[3], HH, hd)
+            )
+        loc = jnp.stack(loc_levels, axis=4)  # (B, Q, N, HH, L, P, 2)
+
+        loc_flat = (
+            loc.transpose(0, 2, 1, 3, 4, 5, 6)
+            .reshape(B * N, Q, HH, L, P, 2)
+            .astype(self.dtype)
+        )
+        attn_flat = (
+            attn.transpose(0, 2, 1, 3, 4, 5)
+            .reshape(B * N, Q, HH, L, P)
+            .astype(self.dtype)
+        )
+        sampled = multi_scale_deformable_attention(
+            vproj_levels, loc_flat, attn_flat
+        ).reshape(B, N, Q, C)
+        out = sampled.astype(jnp.float32).sum(axis=1)  # (B, Q, C)
+
+        out = nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="output_proj",
+        )(out.astype(self.dtype))
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        pos_feat = PositionEncoderMLP(
+            C, dtype=self.dtype, name="position_encoder"
+        )(reference_points)
+        return out + residual + pos_feat

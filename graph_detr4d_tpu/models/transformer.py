@@ -146,19 +146,36 @@ class DecoderLayer(nn.Module):
                 img_shape,
                 deterministic=deterministic,
             )
-        elif self.attn_type == "detr3d":
-            from .attention_variants import Detr3DCrossAtten
+        elif self.attn_type in ("detr3d", "detr3d_v2"):
+            from .attention_variants import (
+                Detr3DCrossAtten,
+                Detr3DCrossAttenV2,
+            )
 
-            query = Detr3DCrossAtten(
-                embed_dims=self.embed_dims,
-                num_levels=self.num_levels,
-                num_points=1,
-                num_cams=self.num_cams,
-                pc_range=self.pc_range,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                name="cross_attn",
-            )(
+            if self.attn_type == "detr3d":
+                attn_mod = Detr3DCrossAtten(
+                    embed_dims=self.embed_dims,
+                    num_levels=self.num_levels,
+                    num_points=1,
+                    num_cams=self.num_cams,
+                    pc_range=self.pc_range,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name="cross_attn",
+                )
+            else:
+                attn_mod = Detr3DCrossAttenV2(
+                    embed_dims=self.embed_dims,
+                    num_heads=self.num_heads,
+                    num_levels=self.num_levels,
+                    num_points=self.num_points,
+                    num_cams=self.num_cams,
+                    pc_range=self.pc_range,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name="cross_attn",
+                )
+            query = attn_mod(
                 query,
                 value_levels,
                 query_pos,

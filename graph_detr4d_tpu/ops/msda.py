@@ -18,6 +18,7 @@ which XLA fuses into a single gather+FMA chain. Differentiable for free
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 
@@ -117,6 +118,62 @@ def _sample_level(value, loc, attn):
     return out
 
 
+def _sample_level_onehot(value, loc, attn):
+    """Gather-free sampling for SMALL levels: the bilinear gather is the
+    linear map  out = W @ V  with W (S, HW) holding the 4 corner weights
+    per row — materialized via one_hot and contracted on the MXU. Exact;
+    profitable when HW is small (TPU gathers cost ~11-17 ns/row, so a
+    (S, HW) x (HW, C) matmul beats S gathers once 2*HW*C flops per row is
+    cheaper than a row fetch — true for the top pyramid levels).
+
+    Per-head locations are handled by contracting against the full
+    (nheads*hd) channel row and selecting each head's own slice after.
+    """
+    B, H, W, nheads, hd = value.shape
+    S = loc.shape[1]
+    dtype = value.dtype
+    C = nheads * hd
+    vflat = value.reshape(B, H * W, C)
+
+    x = loc[..., 0].astype(jnp.float32) * W - 0.5
+    y = loc[..., 1].astype(jnp.float32) * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+
+    # weight matrix built directly in the compute dtype (bf16 in prod);
+    # the contraction accumulates in fp32 on the MXU
+    onehot = jnp.zeros((B, S, nheads, H * W), dtype)
+    for dy, wy in ((0, 1.0 - ly), (1, ly)):
+        for dx, wx in ((0, 1.0 - lx), (1, lx)):
+            xi = x0 + dx
+            yi = y0 + dy
+            inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            idx = (
+                jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+            ).astype(jnp.int32)
+            w = wy * wx * inb.astype(jnp.float32) * attn.astype(jnp.float32)
+            onehot = onehot + jax.nn.one_hot(
+                idx, H * W, dtype=dtype
+            ) * w[..., None].astype(dtype)
+
+    g = jnp.einsum(
+        "bsni,bic->bsnc",
+        onehot,
+        vflat,
+        preferred_element_type=jnp.float32,
+    )  # (B, S, nheads, C) — head n's row sampled at head n's location
+    g = g.reshape(B, S, nheads, nheads, hd)
+    idxh = jnp.arange(nheads)
+    out = g[:, :, idxh, idxh, :]  # (B, S, nheads, hd)
+    return out.astype(dtype)
+
+
+# below this pixel count a level is sampled by one-hot matmul on the MXU
+ONEHOT_MAX_PIXELS = 1536
+
+
 def multi_scale_deformable_attention(
     values: Sequence[jnp.ndarray],
     locations: jnp.ndarray,
@@ -138,7 +195,7 @@ def multi_scale_deformable_attention(
     B, Q, nheads, L, P, _ = locations.shape
     assert len(values) == L, (len(values), L)
     hd = values[0].shape[-1]
-    sample = _sample_level_shift4 if impl == "shift4" else _sample_level
+    base = _sample_level_shift4 if impl == "shift4" else _sample_level
     out = jnp.zeros((B, Q * P, nheads, hd), dtype=values[0].dtype)
     for lvl in range(L):
         loc = locations[:, :, :, lvl].transpose(0, 1, 3, 2, 4).reshape(
@@ -147,7 +204,14 @@ def multi_scale_deformable_attention(
         attn = attention_weights[:, :, :, lvl].transpose(0, 1, 3, 2).reshape(
             B, Q * P, nheads
         )
-        out = out + sample(values[lvl], loc, attn)
+        v = values[lvl]
+        small = v.shape[1] * v.shape[2] <= ONEHOT_MAX_PIXELS
+        sample = (
+            _sample_level_onehot
+            if (small and impl != "gather4")
+            else base
+        )
+        out = out + sample(v, loc, attn)
     # sum over points
     out = out.reshape(B, Q, P, nheads, hd).sum(axis=2)
     return out.reshape(B, Q, nheads * hd)

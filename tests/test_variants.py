@@ -120,3 +120,86 @@ def test_petr_head_forward_and_time():
     v1 = np.asarray(out["all_bbox_preds"])[..., 8:10]
     v2 = np.asarray(out2["all_bbox_preds"])[..., 8:10]
     np.testing.assert_allclose(v1, 2 * v2, rtol=1e-4, atol=1e-5)
+
+
+def test_detr3d_cross_atten_v2():
+    """Learned 2D image-plane offset variant (detr3d_transformer.py:441-710):
+    zero offsets at init => samples exactly at the projected center, so the
+    output must be finite and depend on the reference points."""
+    from graph_detr4d_tpu.models.attention_variants import Detr3DCrossAttenV2
+
+    B, Q, C, N = 1, 8, 32, 3
+    attn = Detr3DCrossAttenV2(
+        embed_dims=C, num_heads=4, num_levels=2, num_points=2, num_cams=N,
+        pc_range=PC,
+    )
+    feats = feats_fixture(B, N, C)
+    q = jnp.asarray(RNG.randn(B, Q, C), jnp.float32)
+    qp = jnp.asarray(RNG.randn(B, Q, C), jnp.float32)
+    ref = jnp.asarray(RNG.uniform(0.3, 0.7, (B, Q, 3)), jnp.float32)
+    l2i = rig(B, N)
+    vs = attn.init(
+        jax.random.PRNGKey(0), q, feats, qp, ref, l2i, (64, 128)
+    )
+    out = attn.apply(vs, q, feats, qp, ref, l2i, (64, 128))
+    assert out.shape == (B, Q, C)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # circular offset bias present (non-zero init on sampling_offsets bias)
+    bias = np.asarray(vs["params"]["sampling_offsets"]["bias"])
+    assert np.abs(bias).max() > 0
+
+    out2 = attn.apply(
+        vs, q, feats, qp,
+        jnp.asarray(RNG.uniform(0.3, 0.7, (B, Q, 3)), jnp.float32),
+        l2i, (64, 128),
+    )
+    assert np.abs(np.asarray(out2 - out)).max() > 1e-6
+
+
+def test_nms_free_cls_decode():
+    """Softmax coder (NMSFreeClsCoder): background column dropped, labels
+    from per-query argmax."""
+    from graph_detr4d_tpu.core.coder import nms_free_cls_decode
+
+    Q, C = 24, 10
+    logits = jnp.asarray(RNG.randn(Q, C + 1) * 2, jnp.float32)
+    codes = jnp.zeros((Q, 10), jnp.float32)
+    det = nms_free_cls_decode(logits, codes, max_num=8)
+    assert det.bboxes.shape == (8, 9)
+    probs = np.asarray(jax.nn.softmax(logits, -1))[:, :-1]
+    want_best = probs.max(-1).max()
+    assert abs(float(det.scores[0]) - want_best) < 1e-6
+    assert int(det.labels[0]) == int(
+        probs[probs.max(-1).argmax()].argmax()
+    )
+
+
+def test_points_img2cam_roundtrip():
+    from graph_detr4d_tpu.geometry.projection import points_img2cam
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 400.0, 420.0, 320.0, 180.0
+    pts_cam = RNG.uniform(1.0, 20.0, (16, 3)).astype(np.float32)
+    uvd = np.stack(
+        [
+            K[0, 0] * pts_cam[:, 0] / pts_cam[:, 2] + K[0, 2],
+            K[1, 1] * pts_cam[:, 1] / pts_cam[:, 2] + K[1, 2],
+            pts_cam[:, 2],
+        ],
+        axis=1,
+    )
+    back = np.asarray(points_img2cam(jnp.asarray(uvd), jnp.asarray(K)))
+    np.testing.assert_allclose(back, pts_cam, rtol=1e-4, atol=1e-4)
+
+
+def test_cam_conv_channels():
+    from graph_detr4d_tpu.models.camera_aware import CAMConv
+
+    B, N, H, W, C = 1, 2, 8, 16, 12
+    x = jnp.asarray(RNG.randn(B, N, H, W, C), jnp.float32)
+    intr = jnp.broadcast_to(jnp.eye(4) * 400.0, (B, N, 4, 4))
+    mod = CAMConv(out_channels=C, img_shape=(64, 128))
+    vs = mod.init(jax.random.PRNGKey(0), x, intr)
+    y = mod.apply(vs, x, intr)
+    assert y.shape == (B, N, H, W, C)
+    assert np.all(np.isfinite(np.asarray(y)))

@@ -97,6 +97,24 @@ class GraphDETR4D(nn.Module):
             f.reshape(B, N, *f.shape[1:3], f.shape[-1]) for f in feats
         ]
 
+    def aug_forward(
+        self,
+        images_list,  # list of (B, N, H, W, 3) augmented copies
+        lidar2img: jnp.ndarray,  # (B, N, 4, 4) of the first (reference) aug
+    ):
+        """Test-time augmentation (detr3d.py aug_test/aug_test_pts
+        :192-216): per-level feature maps are averaged across the
+        augmented inputs, then the head runs once on the first view's
+        calibration."""
+        feats_per_aug = [
+            self.extract_feats(im, False, None) for im in images_list
+        ]
+        mean_feats = [
+            sum(level) / float(len(feats_per_aug))
+            for level in zip(*feats_per_aug)
+        ]
+        return self.head(mean_feats, lidar2img, deterministic=True)
+
     def __call__(
         self,
         images: jnp.ndarray,  # (B, N, H, W, 3) normalized

@@ -281,3 +281,18 @@ def test_dcn_fractional_offsets_match_numpy_oracle():
                     bil(x[0], py, px) @ w[k]
                 )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_aug_test_feature_averaging(model_and_vars):
+    """TTA path (detr3d.py:192-216): averaging identical augmented inputs
+    must equal the plain forward."""
+    model, variables, imgs, l2i = model_and_vars
+    plain = model.apply(variables, imgs, l2i)
+    tta = model.apply(
+        variables, [imgs, imgs], l2i, method=model.aug_forward
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain["all_cls_scores"]),
+        np.asarray(tta["all_cls_scores"]),
+        atol=1e-5,
+    )

@@ -195,3 +195,58 @@ def test_scale_aware_resize_identity_and_scaling():
     # halving resolution halves effective focal -> halves depth factor
     np.testing.assert_allclose(df2, 0.5 * np.ones(N), rtol=1e-6)
     assert ida2[0, 0] == 0.5
+
+
+def test_custom6cam_dataset(tmp_path):
+    """Custom 6-cam dataset (InternalDatasetSweep format): center2lidar
+    composition and GT padding."""
+    import pickle
+    import os
+    from graph_detr4d_tpu.data.custom6cam import (
+        Custom6CamDataset,
+        DEFAULT_CAMS,
+    )
+
+    rng = np.random.RandomState(0)
+    K = np.eye(3)
+    K[0, 0] = K[1, 1] = 500.0
+    center2lidar = np.eye(4)
+    center2lidar[:3, 3] = [1.0, 0.0, -0.5]
+    cams = {}
+    for i, cam in enumerate(DEFAULT_CAMS):
+        ext = np.eye(4)
+        ext[:3, 3] = [0.1 * i, 0.0, 0.0]
+        cams[cam] = {
+            "timestamp": 1_000_000 + i,
+            "data_path": f"/x/{cam}.jpg",
+            "cam_intrinsic": K.reshape(-1).tolist(),
+            "extrinsic": ext.reshape(-1).tolist(),
+        }
+    info = {
+        "timestamp": 1_000_000,
+        "center2lidar": center2lidar.reshape(-1).tolist(),
+        "cams": cams,
+        "gt_boxes": rng.randn(3, 7).astype(np.float32),
+        "gt_names": ["VEHICLE_CAR", "not_a_class", "PEDESTRIAN"],
+        "sweeps": [],
+    }
+    p = os.path.join(tmp_path, "infos.pkl")
+    with open(p, "wb") as f:
+        pickle.dump({"infos": [info]}, f)
+
+    ds = Custom6CamDataset(p, max_gt=8)
+    s = ds.sample(0)
+    assert s["lidar2img"].shape == (6, 4, 4)
+    # lidar2img = viewpad @ ext @ center2lidar
+    want = np.eye(4)
+    want[:3, :3] = K
+    ext0 = np.eye(4)
+    np.testing.assert_allclose(
+        s["lidar2img"][0], (want @ ext0 @ center2lidar).astype(np.float32),
+        rtol=1e-6,
+    )
+    # unknown class dropped; velocity zero-padded to 9 dims
+    assert s["gt_valid"].sum() == 2
+    assert s["gt_bboxes"].shape == (8, 9)
+    np.testing.assert_allclose(s["gt_bboxes"][:2, 7:9], 0.0)
+    assert s["gt_labels"][1] == 3  # PEDESTRIAN

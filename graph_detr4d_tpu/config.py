@@ -80,6 +80,10 @@ class HeadConfig:
     attn_type: str = "deform3d"
     num_neighbors: int = 8  # graph neighbors for 'deform3d_mp'
     with_fpe: bool = True  # SE gate on the 3D PE (detr3d_head_pe.py:546-553)
+    # False = plain Detr3DHead (no 3D position embedding at all,
+    # models/dense_heads/detr3d_head.py:16-166 — the detr4d_res50.py
+    # config family)
+    with_pe: bool = True
     cam_aware: bool = False  # DepthNet feature modulation (PECAM head)
 
 

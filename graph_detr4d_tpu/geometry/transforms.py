@@ -132,3 +132,31 @@ def sweep_lidar2img(
         lidar2ego_translation,
     )
     return lidar2img_from_calib(cam_intrinsic, R, t)
+
+
+def quat_multiply(q1, q2) -> np.ndarray:
+    """Hamilton product of (w, x, y, z) quaternions."""
+    w1, x1, y1, z1 = np.asarray(q1, np.float64)
+    w2, x2, y2, z2 = np.asarray(q2, np.float64)
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def quat_inverse(q) -> np.ndarray:
+    """Inverse of a unit (w, x, y, z) quaternion (= conjugate)."""
+    w, x, y, z = np.asarray(q, np.float64)
+    n = w * w + x * x + y * y + z * z
+    return np.array([w, -x, -y, -z]) / n
+
+
+def quat_yaw(q) -> float:
+    """Yaw (rotation about +z) of a (w, x, y, z) quaternion — the
+    yaw_pitch_roll[0] the devkit Box exposes."""
+    w, x, y, z = np.asarray(q, np.float64)
+    return float(np.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z)))

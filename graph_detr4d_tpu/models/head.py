@@ -163,21 +163,26 @@ class Detr3DHeadPE(nn.Module):
         )
         fpe = SELayer(C, dtype=self.dtype, name="fpe")
 
-        feats_pe = []
-        for feat in mlvl_feats:
-            _, _, H, W, _ = feat.shape
-            pe3d = self._position_embedding(feat, lidar2img)
-            pe = position_encoder(pe3d.astype(self.dtype))
-            if cfg.with_fpe:
-                pe = fpe(pe, feat)
-            # all-valid masks: the fused input pipeline always pads to the
-            # exact network size, so mask == 0 everywhere (:524-539)
-            mask = jnp.zeros((B, N, H, W), jnp.float32)
-            sin = sine_positional_encoding_3d(
-                mask, num_feats=cfg.pe_num_feats, dtype=jnp.float32
-            )
-            pe = pe + adapt_pos3d(sin.astype(self.dtype))
-            feats_pe.append(feat + pe)
+        if cfg.with_pe:
+            feats_pe = []
+            for feat in mlvl_feats:
+                _, _, H, W, _ = feat.shape
+                pe3d = self._position_embedding(feat, lidar2img)
+                pe = position_encoder(pe3d.astype(self.dtype))
+                if cfg.with_fpe:
+                    pe = fpe(pe, feat)
+                # all-valid masks: the fused input pipeline always pads to
+                # the exact network size, so mask == 0 everywhere (:524-539)
+                mask = jnp.zeros((B, N, H, W), jnp.float32)
+                sin = sine_positional_encoding_3d(
+                    mask, num_feats=cfg.pe_num_feats, dtype=jnp.float32
+                )
+                pe = pe + adapt_pos3d(sin.astype(self.dtype))
+                feats_pe.append(feat + pe)
+        else:
+            # plain Detr3DHead: raw FPN features, no position embedding
+            # (detr3d_head.py:16-166)
+            feats_pe = list(mlvl_feats)
 
         # ---- queries and initial reference points
         # hybrid matching adds a one2many query group isolated from the

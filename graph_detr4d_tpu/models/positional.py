@@ -90,3 +90,54 @@ def lid_depth_bins(
     index = jnp.arange(depth_num, dtype=jnp.float32)
     bin_size = (depth_max - depth_start) / (depth_num * (1 + depth_num))
     return depth_start + bin_size * index * (index + 1)
+
+
+import flax.linen as _nn  # noqa: E402  (only this class needs flax)
+
+
+class LearnedPositionalEncoding3D(_nn.Module):
+    """Learned 3-axis PE (positional_encoding.py:103-167): separate
+    row/col/cam embedding tables concatenated per position."""
+
+    num_feats: int = 128
+    row_num_embed: int = 50
+    col_num_embed: int = 50
+    cam_num_embed: int = 12
+
+    @_nn.compact
+    def __call__(self, bs: int, n: int, h: int, w: int):
+        row = self.param(
+            "row_embed",
+            _nn.initializers.uniform(1.0),
+            (self.row_num_embed, self.num_feats),
+        )
+        col = self.param(
+            "col_embed",
+            _nn.initializers.uniform(1.0),
+            (self.col_num_embed, self.num_feats),
+        )
+        cam = self.param(
+            "cam_embed",
+            _nn.initializers.uniform(1.0),
+            (self.cam_num_embed, self.num_feats),
+        )
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    cam[:n, None, None, :],
+                    (n, h, w, self.num_feats),
+                ),
+                jnp.broadcast_to(
+                    row[None, :h, None, :],
+                    (n, h, w, self.num_feats),
+                ),
+                jnp.broadcast_to(
+                    col[None, None, :w, :],
+                    (n, h, w, self.num_feats),
+                ),
+            ],
+            axis=-1,
+        )
+        return jnp.broadcast_to(
+            pos[None], (bs, n, h, w, 3 * self.num_feats)
+        )

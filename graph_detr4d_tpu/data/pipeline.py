@@ -218,6 +218,36 @@ def photometric_distortion(
     return np.clip(img, 0, 255)
 
 
+class AlbuMultiview3D:
+    """Albumentations adapter applied per camera view
+    (AlbuMultiview3D, transform_3d.py:553-685). Construct with a list of
+    albumentations transform dicts ({'type': 'Blur', 'p': 0.5}, ...);
+    raises a clear error if albumentations is not installed (it is an
+    optional extra here, matching the reference's soft dependency)."""
+
+    def __init__(self, transforms):
+        try:
+            import albumentations
+            from albumentations import Compose
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "AlbuMultiview3D requires the optional 'albumentations' "
+                "package"
+            ) from e
+
+        def build(t):
+            t = dict(t)
+            cls = getattr(albumentations, t.pop("type"))
+            if "transforms" in t:
+                t["transforms"] = [build(x) for x in t["transforms"]]
+            return cls(**t)
+
+        self.aug = Compose([build(t) for t in transforms])
+
+    def __call__(self, imgs):
+        return [self.aug(image=img)["image"] for img in imgs]
+
+
 def scale_aware_resize(
     imgs: Sequence[np.ndarray],
     lidar2img: np.ndarray,  # (N, 4, 4)

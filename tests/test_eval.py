@@ -99,3 +99,61 @@ def test_nds_formula():
     # single-class config: mAP = 1, all TP errors 0 => NDS = (5+5)/10
     expect = (5 * res["mAP"] + 5.0) / 10.0
     assert abs(res["NDS"] - expect) < 1e-9
+
+
+def test_submission_formatting():
+    """Box lidar->global conversion + attribute rules + range filter
+    (multi_nuscenes_dataset.py:123-196, 368-446)."""
+    from graph_detr4d_tpu.eval.submission import (
+        boxes_to_nusc_annos,
+        select_attribute,
+        write_submission,
+    )
+
+    # identity lidar2ego; ego rotated 90deg about z and translated
+    yaw90 = [np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]
+    info = {
+        "token": "tok0",
+        "lidar2ego_rotation": [1.0, 0, 0, 0],
+        "lidar2ego_translation": [0.0, 0, 0],
+        "ego2global_rotation": yaw90,
+        "ego2global_translation": [100.0, 50.0, 0.0],
+    }
+    boxes = np.array(
+        [
+            [10.0, 0.0, 1.0, 2.0, 4.0, 1.5, 0.0, 3.0, 0.0],  # moving car
+            [49.0, 30.0, 0.0, 1.0, 1.0, 2.0, 0.0, 0.0, 0.0],  # out of range
+        ],
+        np.float32,
+    )
+    annos = boxes_to_nusc_annos(
+        boxes, np.array([0.9, 0.8]), np.array([0, 9]), info
+    )
+    # traffic_cone at 57m BEV radius > 30m range -> filtered
+    assert len(annos) == 1
+    a = annos[0]
+    # 90deg ego yaw sends lidar (10, 0) to global (100, 50) + (0, 10)
+    np.testing.assert_allclose(
+        a["translation"], [100.0, 60.0, 1.0], atol=1e-6
+    )
+    # velocity rotates with the frame
+    np.testing.assert_allclose(a["velocity"], [0.0, 3.0], atol=1e-6)
+    assert a["detection_name"] == "car"
+    assert a["attribute_name"] == "vehicle.moving"
+    assert a["sample_token"] == "tok0"
+
+    assert select_attribute("car", (0.0, 0.0)) == "vehicle.parked"
+    assert select_attribute("bus", (0.0, 0.0)) == "vehicle.stopped"
+    assert select_attribute("bicycle", (1.0, 0.0)) == "cycle.with_rider"
+    assert select_attribute("pedestrian", (0.0, 0.0)) == (
+        "pedestrian.standing"
+    )
+
+    import tempfile, json, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = write_submission({"tok0": annos}, d)
+        with open(path) as f:
+            data = json.load(f)
+        assert data["meta"]["use_camera"]
+        assert len(data["results"]["tok0"]) == 1

@@ -22,6 +22,12 @@ def parse_args():
     p.add_argument("--img-w", type=int, default=800)
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--out", default=None, help="write results json here")
+    p.add_argument(
+        "--format-nusc",
+        default=None,
+        help="directory to write the official-submission results_nusc.json "
+        "(--format-only parity; boxes converted lidar->global)",
+    )
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     return p.parse_args()
@@ -116,6 +122,7 @@ def main():
             args.ann_file, test_mode=True, max_gt=cfg.loss.max_gt
         )
         n = min(args.max_samples or len(ds), len(ds))
+        infos_by_token = {info["token"]: info for info in ds.infos}
         for i in range(n):
             s = ds.sample(i)
             batch = build_batch([s], cfg.img_size, training=False)
@@ -136,6 +143,23 @@ def main():
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump({"results": results, "metrics": metrics}, f)
+    if args.format_nusc and not (args.synthetic or args.ann_file is None):
+        from graph_detr4d_tpu.eval.submission import (
+            boxes_to_nusc_annos,
+            write_submission,
+        )
+
+        per_sample = {}
+        for r in results:
+            info = infos_by_token[r["token"]]
+            per_sample[r["token"]] = boxes_to_nusc_annos(
+                np.asarray(r["boxes"], np.float32),
+                np.asarray(r["scores"], np.float32),
+                np.asarray(r["labels"], np.int32),
+                info,
+            )
+        path = write_submission(per_sample, args.format_nusc)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

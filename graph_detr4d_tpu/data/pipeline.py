@@ -308,25 +308,55 @@ def build_batch(
     training: bool = False,
     rng: Optional[np.random.RandomState] = None,
     src_hw: Tuple[int, int] = (900, 1600),
+    use_native: bool = False,
 ) -> dict:
     """Assemble a fixed-shape batch dict from dataset samples (images
-    loaded from disk, one shared ida per sample like the reference)."""
+    loaded from disk, one shared ida per sample like the reference).
+
+    use_native=True routes the eval path through the C++ loader
+    (graph_detr4d_tpu/native): multithreaded JPEG decode + fused
+    resize/crop/flip/normalize outside the GIL. Training keeps the
+    python path (photometric distortion runs pre-resize)."""
     rng = rng or np.random.RandomState(0)
     images, l2is = [], []
     gtb, gtl, gtv = [], [], []
+    if use_native and not training:
+        from ..native import available
+
+        use_native = available()
     for s in samples:
         p = sample_ida_params(rng, src_hw, final_hw, training=training)
-        cams, mats = [], []
         bboxes = s["gt_bboxes"]
-        for path, l2i in zip(s["image_paths"], s["lidar2img"]):
-            img = load_image(path)
-            if training:
-                img = photometric_distortion(img, rng)
-            img, m = apply_ida(img, l2i, p)
-            img = normalize_image(img)
-            img = pad_to_divisor(img)
-            cams.append(img)
-            mats.append(m)
+        if use_native and not training:
+            from ..native import load_images
+
+            imgs = load_images(
+                list(s["image_paths"]),
+                resize=p.resize,
+                crop_xy=(p.crop[0], p.crop[1]),
+                out_hw=final_hw,
+                flip=p.flip,
+            )
+            ida4 = np.eye(4, dtype=np.float64)
+            m3 = p.ida_mat()
+            ida4[:2, :2] = m3[:2, :2]
+            ida4[:2, 2] = m3[:2, 2]
+            cams = [pad_to_divisor(im) for im in imgs]
+            mats = [
+                (ida4 @ l2i).astype(np.float32)
+                for l2i in s["lidar2img"]
+            ]
+        else:
+            cams, mats = [], []
+            for path, l2i in zip(s["image_paths"], s["lidar2img"]):
+                img = load_image(path)
+                if training:
+                    img = photometric_distortion(img, rng)
+                img, m = apply_ida(img, l2i, p)
+                img = normalize_image(img)
+                img = pad_to_divisor(img)
+                cams.append(img)
+                mats.append(m)
         mats = np.asarray(mats)
         if training:
             mats, bboxes = global_rot_scale_trans(mats, bboxes, rng)

@@ -250,3 +250,65 @@ def test_custom6cam_dataset(tmp_path):
     assert s["gt_bboxes"].shape == (8, 9)
     np.testing.assert_allclose(s["gt_bboxes"][:2, 7:9], 0.0)
     assert s["gt_labels"][1] == 3  # PEDESTRIAN
+
+
+def test_native_loader_matches_python_path(tmp_path):
+    """C++ loader (graph_detr4d_tpu/native): decode + fused
+    resize/crop/flip/normalize matches the python path within jpeg +
+    resampling tolerance, and build_batch(use_native=True) agrees."""
+    import pytest
+
+    from graph_detr4d_tpu import native
+    from graph_detr4d_tpu.data.pipeline import build_batch
+
+    if not native.available():
+        pytest.skip("native toolchain/libjpeg unavailable")
+
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 needed to synthesize jpegs")
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        img = cv2.GaussianBlur(
+            (rng.rand(128, 256, 3) * 255).astype(np.uint8), (15, 15), 5
+        )
+        p = str(tmp_path / f"cam{i}.jpg")
+        cv2.imwrite(p, img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 98])
+        paths.append(p)
+
+    sample = {
+        "image_paths": paths,
+        "lidar2img": np.stack([np.eye(4, dtype=np.float32)] * 3),
+        "gt_bboxes": np.zeros((4, 9), np.float32),
+        "gt_labels": np.zeros((4,), np.int32),
+        "gt_valid": np.zeros((4,), np.float32),
+    }
+    kw = dict(final_hw=(64, 128), training=False, src_hw=(128, 256))
+    b_py = build_batch([sample], **kw)
+    b_nat = build_batch([sample], use_native=True, **kw)
+    assert b_nat["images"].shape == b_py["images"].shape
+    d = np.abs(b_nat["images"] - b_py["images"])
+    assert float(d.mean()) < 0.02  # normalized units (~1/255 scale)
+    np.testing.assert_allclose(
+        b_nat["lidar2img"], b_py["lidar2img"], rtol=1e-5
+    )
+
+    # flip path agrees too
+    from graph_detr4d_tpu.native import load_images
+    from graph_detr4d_tpu.data.pipeline import (
+        IdaAugParams,
+        apply_ida,
+        load_image,
+        normalize_image,
+    )
+
+    p = IdaAugParams(resize=0.5, crop=(0, 0, 128, 64), flip=True)
+    nat = load_images(
+        paths[:1], resize=0.5, crop_xy=(0, 0), out_hw=(64, 128), flip=True
+    )[0]
+    ref, _ = apply_ida(load_image(paths[0]), np.eye(4), p)
+    ref = normalize_image(ref)
+    assert float(np.abs(nat - ref).mean()) < 0.06  # PIL downscale differs

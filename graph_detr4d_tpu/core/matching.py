@@ -91,7 +91,14 @@ def match_targets(
         cls_weight=cls_weight,
         reg_weight=reg_weight,
     )
-    q_for_gt = hungarian_assignment(cost)  # (G,)
+    # padded GT sits at the tail (prefix-valid layout), so only the valid
+    # rows need augmenting paths; unsolved rows return -1, remapped to Q
+    # (a genuinely out-of-bounds index: JAX scatters DROP indices >= size
+    # but WRAP negative ones)
+    q_for_gt = hungarian_assignment(
+        cost, num_valid=gt_valid.astype(jnp.int32).sum()
+    )  # (G,)
+    q_for_gt = jnp.where(q_for_gt < 0, Q, q_for_gt)
 
     valid_f = gt_valid.astype(jnp.float32)
     labels = jnp.full((Q,), num_classes, jnp.int32)

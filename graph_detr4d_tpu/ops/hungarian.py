@@ -92,11 +92,17 @@ def _solve_row(cost, u, v, col4row, row4col, cur_row):
     return u, v, col4row, row4col
 
 
-def hungarian_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+def hungarian_assignment(cost: jnp.ndarray, num_valid=None) -> jnp.ndarray:
     """Solve min-cost assignment on a rectangular (R, C) matrix, R <= C.
 
     Non-finite entries are clamped exactly as the reference does before
     scipy (nan/+inf -> 100, -inf -> -100; hungarian_assigner_3d.py:130).
+
+    `num_valid` (traced scalar, optional): only the first `num_valid` rows
+    are solved — the augmenting-path loop is the expensive sequential part,
+    and GT is padded to a fixed max, so skipping padding rows cuts the
+    on-device matching cost by the padding ratio. Skipped rows return -1
+    (out-of-bounds for scatter consumers, which drop them).
 
     Returns col4row: (R,) int32, the column assigned to each row.
     """
@@ -111,12 +117,25 @@ def hungarian_assignment(cost: jnp.ndarray) -> jnp.ndarray:
     col4row = jnp.full((R,), -1, dtype=jnp.int32)
     row4col = jnp.full((C,), -1, dtype=jnp.int32)
 
-    def body(cur_row, carry):
-        u, v, col4row, row4col = carry
-        return _solve_row(cost, u, v, col4row, row4col, jnp.int32(cur_row))
+    n = (
+        jnp.int32(R)
+        if num_valid is None
+        else jnp.minimum(jnp.asarray(num_valid, jnp.int32), R)
+    )
 
-    u, v, col4row, row4col = lax.fori_loop(
-        0, R, body, (u, v, col4row, row4col)
+    def cond(carry):
+        cur_row, _, _, _, _ = carry
+        return cur_row < n
+
+    def body(carry):
+        cur_row, u, v, col4row, row4col = carry
+        u, v, col4row, row4col = _solve_row(
+            cost, u, v, col4row, row4col, cur_row
+        )
+        return (cur_row + 1, u, v, col4row, row4col)
+
+    _, u, v, col4row, row4col = lax.while_loop(
+        cond, body, (jnp.int32(0), u, v, col4row, row4col)
     )
     return col4row
 

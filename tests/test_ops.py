@@ -203,3 +203,25 @@ def test_msda_shift4_grad_matches():
     np.testing.assert_allclose(
         np.asarray(f("gather4")), np.asarray(f("shift4")), atol=1e-5
     )
+
+
+def test_hungarian_num_valid_early_exit():
+    """num_valid solves only the prefix rows; the prefix assignment must
+    equal scipy on the sliced problem, tail rows return -1."""
+    cost = RNG.randn(12, 40).astype(np.float32)
+    got = np.asarray(
+        hungarian_assignment(jnp.asarray(cost), num_valid=5)
+    )
+    assert (got[5:] == -1).all()
+    r, c = linear_sum_assignment(cost[:5])
+    np.testing.assert_allclose(
+        cost[np.arange(5), got[:5]].sum(),
+        cost[r, c].sum(),
+        rtol=1e-5,
+    )
+
+    # num_valid=0: nothing assigned
+    got0 = np.asarray(
+        hungarian_assignment(jnp.asarray(cost), num_valid=0)
+    )
+    assert (got0 == -1).all()

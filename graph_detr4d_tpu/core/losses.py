@@ -95,16 +95,19 @@ def detr3d_loss(
     head_cfg: HeadConfig,
     axis_name: Optional[str] = None,
 ):
-    """Sum of per-decoder-layer losses + a metrics dict (:1013-1094)."""
+    """Sum of per-decoder-layer losses + a metrics dict (:1013-1094).
+
+    Layers are vmapped: the Hungarian matching's sequential
+    augmenting-path loops across the 6 decoder stages run in lockstep
+    instead of back-to-back (6x fewer serialized device loop trips)."""
     all_cls = preds["all_cls_scores"]
     all_bbox = preds["all_bbox_preds"]
     num_layers = all_cls.shape[0]
-    total = 0.0
-    metrics = {}
-    for lid in range(num_layers):
-        lc, lb, npos = loss_single_layer(
-            all_cls[lid],
-            all_bbox[lid],
+
+    lcs, lbs, nposs = jax.vmap(
+        lambda c, b: loss_single_layer(
+            c,
+            b,
             gt_bboxes,
             gt_labels,
             gt_valid,
@@ -112,11 +115,15 @@ def detr3d_loss(
             head_cfg,
             axis_name,
         )
-        total = total + lc + lb
+    )(all_cls, all_bbox)
+
+    total = lcs.sum() + lbs.sum()
+    metrics = {}
+    for lid in range(num_layers):
         tag = "" if lid == num_layers - 1 else f"d{lid}."
-        metrics[f"{tag}loss_cls"] = lc
-        metrics[f"{tag}loss_bbox"] = lb
-    metrics["num_pos"] = npos
+        metrics[f"{tag}loss_cls"] = lcs[lid]
+        metrics[f"{tag}loss_bbox"] = lbs[lid]
+    metrics["num_pos"] = nposs[-1]
     metrics["loss"] = total
     return total, metrics
 

@@ -91,13 +91,20 @@ def match_targets(
         cls_weight=cls_weight,
         reg_weight=reg_weight,
     )
-    # padded GT sits at the tail (prefix-valid layout), so only the valid
-    # rows need augmenting paths; unsolved rows return -1, remapped to Q
-    # (a genuinely out-of-bounds index: JAX scatters DROP indices >= size
-    # but WRAP negative ones)
-    q_for_gt = hungarian_assignment(
-        cost, num_valid=gt_valid.astype(jnp.int32).sum()
-    )  # (G,)
+    # only valid GT rows need augmenting paths. Rows are permuted
+    # valid-first (a stable argsort — the hybrid one2many path tiles GT so
+    # validity is NOT a prefix), solved with num_valid early exit, then
+    # un-permuted. Unsolved rows return -1, remapped to Q (a genuinely
+    # out-of-bounds index: JAX scatters DROP indices >= size but WRAP
+    # negative ones).
+    G = gt_valid.shape[0]
+    order = jnp.argsort(~gt_valid.astype(bool), stable=True)
+    q_sorted = hungarian_assignment(
+        cost[order], num_valid=gt_valid.astype(jnp.int32).sum()
+    )
+    q_for_gt = (
+        jnp.full((G,), -1, jnp.int32).at[order].set(q_sorted)
+    )
     q_for_gt = jnp.where(q_for_gt < 0, Q, q_for_gt)
 
     valid_f = gt_valid.astype(jnp.float32)

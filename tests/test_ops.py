@@ -225,3 +225,37 @@ def test_hungarian_num_valid_early_exit():
         hungarian_assignment(jnp.asarray(cost), num_valid=0)
     )
     assert (got0 == -1).all()
+
+
+def test_match_targets_non_prefix_validity():
+    """Validity interleaved (the hybrid one2many tiling pattern) must
+    produce the same matching as scipy on the valid subset."""
+    from graph_detr4d_tpu.core.matching import match_targets
+
+    Q, G, C = 30, 8, 10
+    logits = jnp.asarray(RNG.randn(Q, C) * 2, jnp.float32)
+    preds = jnp.asarray(RNG.randn(Q, 10), jnp.float32)
+    boxes = jnp.asarray(RNG.randn(G, 9), jnp.float32)
+    boxes = boxes.at[:, 3:6].set(jnp.abs(boxes[:, 3:6]) + 0.5)
+    labels = jnp.asarray(RNG.randint(0, C, (G,)), jnp.int32)
+    valid_interleaved = jnp.asarray(
+        [1, 0, 1, 0, 1, 0, 1, 0], jnp.float32
+    )
+    valid_prefix_equiv = jnp.asarray(
+        [1, 1, 1, 1, 0, 0, 0, 0], jnp.float32
+    )
+    perm = jnp.asarray([0, 2, 4, 6, 1, 3, 5, 7])
+
+    t_inter = match_targets(logits, preds, boxes, labels, valid_interleaved)
+    t_pref = match_targets(
+        logits, preds, boxes[perm], labels[perm], valid_prefix_equiv
+    )
+    assert float(t_inter.num_pos) == 4.0
+    np.testing.assert_array_equal(
+        np.asarray(t_inter.labels), np.asarray(t_pref.labels)
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_inter.bbox_targets),
+        np.asarray(t_pref.bbox_targets),
+        atol=1e-6,
+    )

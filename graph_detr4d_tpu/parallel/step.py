@@ -16,7 +16,7 @@ from flax import struct
 from jax.sharding import Mesh
 
 from ..config import ModelConfig
-from ..core.losses import detr3d_loss
+from ..core.losses import detr3d_loss, hybrid_detr3d_loss
 from ..core.coder import decode_batch
 from ..train.optim import build_optimizer
 from .mesh import batch_sharding, replicated_sharding
@@ -62,7 +62,14 @@ def build_train_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
                 depth_factors=batch.get("depth_factors"),
                 rngs={"dropout": rng_do},
             )
-            return detr3d_loss(
+            # hybrid H-DETR heads emit a one2many query group that gets
+            # its own k-repeated-GT set loss (h_detr3d_head_pe.py:616-668)
+            loss_impl = (
+                hybrid_detr3d_loss
+                if cfg.head.num_query_one2many > 0
+                else detr3d_loss
+            )
+            return loss_impl(
                 out,
                 batch["gt_bboxes"],
                 batch["gt_labels"],

@@ -96,3 +96,32 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         q0, params["head"]["query_embedding"]
     )
+
+
+def test_hybrid_train_step():
+    """H-DETR configs train through build_train_step with the one2many
+    branch contributing (o2m metrics present, finite loss)."""
+    import dataclasses
+
+    from graph_detr4d_tpu.config import tiny_test_config
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.parallel.step import init_state, build_train_step
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    base = tiny_test_config()
+    cfg = dataclasses.replace(
+        base,
+        head=dataclasses.replace(
+            base.head, num_query_one2many=24, k_one2many=2
+        ),
+    )
+    model = GraphDETR4D(cfg)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(model, cfg, mesh=None)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(cfg, 1, num_gt=3).items()
+    }
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert any(k.startswith("o2m.") for k in metrics)

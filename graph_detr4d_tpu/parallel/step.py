@@ -60,6 +60,7 @@ def build_train_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
                 train=True,
                 rng=rng_gm,
                 depth_factors=batch.get("depth_factors"),
+                mean_time_stamp=batch.get("mean_time_stamp"),
                 rngs={"dropout": rng_do},
             )
             # hybrid H-DETR heads emit a one2many query group that gets
@@ -69,7 +70,7 @@ def build_train_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
                 if cfg.head.num_query_one2many > 0
                 else detr3d_loss
             )
-            return loss_impl(
+            total, metrics = loss_impl(
                 out,
                 batch["gt_bboxes"],
                 batch["gt_labels"],
@@ -77,6 +78,21 @@ def build_train_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
                 cfg.loss,
                 cfg.head,
             )
+            # PETR-seg: per-layer positive-balanced BCE on lane-patch
+            # logits against the patchified GT map
+            # (petr_head_seg.py loss_single + Sigmoid_ce_loss)
+            if "all_lane_preds" in out and "maps" in batch:
+                from ..models.petr_seg import lane_mask_loss
+
+                lane = 0.0
+                for lid in range(out["all_lane_preds"].shape[0]):
+                    lane = lane + jax.vmap(lane_mask_loss)(
+                        out["all_lane_preds"][lid], batch["maps"]
+                    ).mean()
+                metrics["loss_mask"] = lane
+                total = total + lane
+                metrics["loss"] = total
+            return total, metrics
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -125,3 +125,32 @@ def test_hybrid_train_step():
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert any(k.startswith("o2m.") for k in metrics)
+
+
+def test_petr_seg_train_step_with_maps():
+    """petr_seg configs: lane-mask BCE joins the train loss when the batch
+    carries patchified GT maps."""
+    import dataclasses
+
+    from graph_detr4d_tpu.config import tiny_test_config
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.parallel.step import init_state, build_train_step
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    cfg = dataclasses.replace(tiny_test_config(), head_type="petr_seg")
+    model = GraphDETR4D(cfg)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(model, cfg, mesh=None)
+    rng = np.random.RandomState(0)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(cfg, 1, num_gt=3).items()
+    }
+    # default PETRHeadSeg: 100 lane queries x 768-logit patches
+    batch["maps"] = jnp.asarray(
+        (rng.rand(1, 100, 768) > 0.8).astype(np.float32)
+    )
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_mask"]))
+    assert float(metrics["loss_mask"]) > 0

@@ -79,6 +79,10 @@ class HeadConfig:
     # 'detr3d_v2' (learned 2D image-plane offsets)
     attn_type: str = "deform3d"
     num_neighbors: int = 8  # graph neighbors for 'deform3d_mp'
+    # per-camera query capacity fraction for the deform3d sampler; exact
+    # whenever <= capacity queries project into a camera (overflow count
+    # is sown as 'cam_overflow'); 1.0 = off
+    cam_capacity: float = 1.0
     with_fpe: bool = True  # SE gate on the 3D PE (detr3d_head_pe.py:546-553)
     # False = plain Detr3DHead (no 3D position embedding at all,
     # models/dense_heads/detr3d_head.py:16-166 — the detr4d_res50.py

@@ -53,6 +53,14 @@ class Deform3DCrossAttn(nn.Module):
     num_cams: int = 12
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     dropout: float = 0.1
+    # per-camera query capacity as a fraction of num_query. A query whose
+    # samples are ALL out of view in a camera contributes exactly zero
+    # (mask x attn), so gathering only the <= K queries with any valid
+    # sample per camera is EXACT as long as their count fits the capacity;
+    # the clipped count is sown as intermediates 'cam_overflow' so runs
+    # can verify 0. 1.0 disables compaction. Typical surround rigs see
+    # ~Q/3 valid queries per camera.
+    cam_capacity: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,12 +154,50 @@ class Deform3DCrossAttn(nn.Module):
             for v in value_levels
         ]
 
-        loc_flat = loc.reshape(B * N, Q, H_heads, L, P, 2).astype(self.dtype)
-        attn_flat = attn.reshape(B * N, Q, H_heads, L, P)
-        sampled = multi_scale_deformable_attention(
-            values, loc_flat, attn_flat.astype(self.dtype)
-        )  # (B*N, Q, C)
-        sampled = sampled.reshape(B, N, Q, C)
+        K = min(Q, int(math.ceil(Q * self.cam_capacity)))
+        if K < Q:
+            # compact to the K queries per camera that have any in-view
+            # sample; the rest contribute exactly zero. valid: (B,N,Q,H,L,P)
+            anyv = valid.max(axis=(3, 4, 5))  # (B, N, Q)
+            _, sel = jax.lax.top_k(anyv, K)  # (B, N, K)
+            overflow = jnp.maximum(
+                anyv.sum(-1) - jnp.float32(K), 0.0
+            ).sum()
+            self.sow("intermediates", "cam_overflow", overflow)
+
+            def take_q(x, idx):
+                # gather along the query axis with leading (B, N) batch
+                return jnp.take_along_axis(
+                    x,
+                    idx.reshape(B, N, K, *([1] * (x.ndim - 3))),
+                    axis=2,
+                )
+
+            loc_sel = take_q(loc, sel)
+            attn_sel = take_q(attn, sel)
+            loc_flat = loc_sel.reshape(B * N, K, H_heads, L, P, 2).astype(
+                self.dtype
+            )
+            attn_flat = attn_sel.reshape(B * N, K, H_heads, L, P)
+            sampled_sel = multi_scale_deformable_attention(
+                values, loc_flat, attn_flat.astype(self.dtype)
+            ).reshape(B, N, K, C)
+            bi = jnp.arange(B)[:, None, None]
+            ni = jnp.arange(N)[None, :, None]
+            sampled = (
+                jnp.zeros((B, N, Q, C), sampled_sel.dtype)
+                .at[bi, ni, sel]
+                .set(sampled_sel)
+            )
+        else:
+            loc_flat = loc.reshape(B * N, Q, H_heads, L, P, 2).astype(
+                self.dtype
+            )
+            attn_flat = attn.reshape(B * N, Q, H_heads, L, P)
+            sampled = multi_scale_deformable_attention(
+                values, loc_flat, attn_flat.astype(self.dtype)
+            )  # (B*N, Q, C)
+            sampled = sampled.reshape(B, N, Q, C)
 
         # per-camera sigmoid gate, sum over cameras (:320-324)
         gate = jax.nn.sigmoid(cam_gate_logits.astype(jnp.float32))

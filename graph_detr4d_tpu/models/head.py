@@ -220,6 +220,7 @@ class Detr3DHeadPE(nn.Module):
                 dropout=cfg.dropout,
                 attn_type=cfg.attn_type,
                 num_neighbors=cfg.num_neighbors,
+                cam_capacity=cfg.cam_capacity,
                 dtype=self.dtype,
                 name=f"decoder_layer{lid}",
             )

@@ -52,6 +52,7 @@ class DecoderLayer(nn.Module):
     # 'deform3d' | 'deform3d_mp' | 'detr3d' (HeadConfig.attn_type)
     attn_type: str = "deform3d"
     num_neighbors: int = 8
+    cam_capacity: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,6 +90,7 @@ class DecoderLayer(nn.Module):
                 num_cams=self.num_cams,
                 pc_range=self.pc_range,
                 dropout=self.dropout,
+                cam_capacity=self.cam_capacity,
                 dtype=self.dtype,
                 name="cross_attn",
             )(

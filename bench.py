@@ -39,8 +39,11 @@ def main():
 
     H, W = 640, 1600  # reference test resolution (ida final_dim)
     N = 6  # metric is 6-camera frames/sec
+    # cam_capacity=0.5: each camera samples only its in-view queries —
+    # verified bit-exact vs capacity 1.0 on this rig (overflow counter 0;
+    # overflow would be sown as intermediates 'cam_overflow')
     cfg = ModelConfig(
-        head=HeadConfig(num_cams=N, with_detach=False),
+        head=HeadConfig(num_cams=N, with_detach=False, cam_capacity=0.5),
         img_size=(H, W),
         bf16=True,
     )

@@ -88,7 +88,10 @@ def _replace_path(obj, keys, value):
 
 # --------------------------------------------------------------- helpers
 def _detr4d(img_size=(640, 1600), **head_kw) -> ModelConfig:
-    head = dict(num_cams=12, with_detach=False)
+    # cam_capacity=0.5: exact unless >Q/2 queries project into one camera
+    # (the sown 'cam_overflow' counter exposes clipping; set 1.0 to
+    # disable)
+    head = dict(num_cams=12, with_detach=False, cam_capacity=0.5)
     head.update(head_kw)
     return ModelConfig(head=HeadConfig(**head), img_size=img_size)
 
@@ -345,6 +348,16 @@ def md_cls_reg():
 @register_distill("mixdistill_r50_r18_cls_reg_img")
 def md_cls_reg_img():
     return _r50_r18(mix=True, distill_feat=True)
+
+
+@register_distill("detr4d_r50_distill_r50_1x")
+def d_r50_r50():
+    """configs/distillers/objdgcnn_Gdetr4d_r50_distill_Gdetr4d_r50_1x_*:
+    trained-r50 teacher -> fresh-r50 student (self-distillation; the
+    'objdgcnn' in the reference filename is vestigial — both models in
+    that config are camera Detr3D r50)."""
+    flagship = get_config("detr4d_res50_deform_pe_testaug_2subset_12e")
+    return DistillBundle(teacher=flagship, student=flagship)
 
 
 @register_distill("mixdistill_r50_m2_cls_reg_img")

@@ -40,6 +40,13 @@ def parse_args():
     p.add_argument("--tiny", action="store_true", help="tiny debug config")
     p.add_argument("--load-interval", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--val-ann-file",
+        default=None,
+        help="run the EvalHook-equivalent (nuScenes mAP/NDS on this val "
+        "pkl) at every checkpoint interval",
+    )
+    p.add_argument("--eval-samples", type=int, default=64)
     return p.parse_args()
 
 
@@ -113,8 +120,53 @@ def main():
                     samples, cfg.img_size, training=True, rng=rng
                 )
 
+    eval_fn = None
+    if args.val_ann_file:
+        # EvalHook parity (configs/...12e.py:218): decode + standalone
+        # nuScenes metrics on a val slice at every checkpoint interval
+        from graph_detr4d_tpu.data.nuscenes import NuScenesSweepDataset
+        from graph_detr4d_tpu.data.pipeline import build_batch
+        from graph_detr4d_tpu.parallel.step import build_eval_step
+        from graph_detr4d_tpu.eval import DetectionEvaluator
+        import jax.numpy as jnp
+
+        val_ds = NuScenesSweepDataset(
+            args.val_ann_file, test_mode=True, max_gt=cfg.loss.max_gt
+        )
+        eval_step = build_eval_step(model, cfg)
+
+        def eval_fn(state):
+            evaluator = DetectionEvaluator()
+            n = min(args.eval_samples, len(val_ds))
+            for i in range(n):
+                s = val_ds.sample(i)
+                vb = build_batch([s], cfg.img_size, training=False)
+                det = eval_step(
+                    state.params,
+                    state.batch_stats,
+                    {
+                        "images": jnp.asarray(vb["images"]),
+                        "lidar2img": jnp.asarray(vb["lidar2img"]),
+                    },
+                )
+                keep = np.asarray(det.valid[0])
+                gkeep = vb["gt_valid"][0] > 0
+                evaluator.add_sample(
+                    np.asarray(det.bboxes[0])[keep],
+                    np.asarray(det.labels[0])[keep],
+                    np.asarray(det.scores[0])[keep],
+                    vb["gt_bboxes"][0][gkeep],
+                    vb["gt_labels"][0][gkeep],
+                )
+            m = evaluator.evaluate()
+            return {
+                "val_mAP": float(m["mAP"]),
+                "val_NDS": float(m["NDS"]),
+            }
+
     trainer = Trainer(
-        model, cfg, args.work_dir, batches(), seed=args.seed
+        model, cfg, args.work_dir, batches(), eval_fn=eval_fn,
+        seed=args.seed,
     )
     if args.resume:
         step = trainer.resume()

@@ -16,6 +16,13 @@ def parse_args():
     p.add_argument("--config", default=None, help="named config")
     p.add_argument("--cfg-options", nargs="*", default=None)
     p.add_argument("--ann-file", required=False, default=None)
+    p.add_argument(
+        "--dataset",
+        default="nuscenes",
+        choices=["nuscenes", "custom6cam"],
+        help="custom6cam = the internal-dataset format with center2lidar "
+        "calibration (tools/test_internal.py parity)",
+    )
     p.add_argument("--checkpoint", default=None, help="orbax ckpt dir")
     p.add_argument("--work-dir", default="work_dirs/detr4d")
     p.add_argument("--img-h", type=int, default=320)
@@ -83,7 +90,7 @@ def main():
         valid = np.asarray(det.valid)
         for b in range(boxes.shape[0]):
             keep = valid[b]
-            gkeep = gt_valid[b]
+            gkeep = np.asarray(gt_valid[b]) > 0
             evaluator.add_sample(
                 boxes[b][keep],
                 labels[b][keep],
@@ -115,14 +122,26 @@ def main():
                 [f"synthetic-{i}"],
             )
     else:
-        from graph_detr4d_tpu.data.nuscenes import NuScenesSweepDataset
         from graph_detr4d_tpu.data.pipeline import build_batch
 
-        ds = NuScenesSweepDataset(
-            args.ann_file, test_mode=True, max_gt=cfg.loss.max_gt
-        )
+        if args.dataset == "custom6cam":
+            from graph_detr4d_tpu.data.custom6cam import Custom6CamDataset
+
+            ds = Custom6CamDataset(
+                args.ann_file, max_gt=cfg.loss.max_gt, test_mode=True
+            )
+        else:
+            from graph_detr4d_tpu.data.nuscenes import NuScenesSweepDataset
+
+            ds = NuScenesSweepDataset(
+                args.ann_file, test_mode=True, max_gt=cfg.loss.max_gt
+            )
         n = min(args.max_samples or len(ds), len(ds))
-        infos_by_token = {info["token"]: info for info in ds.infos}
+        infos_by_token = {
+            info["token"]: info
+            for info in ds.infos
+            if isinstance(info, dict) and "token" in info
+        }
         for i in range(n):
             s = ds.sample(i)
             batch = build_batch([s], cfg.img_size, training=False)
@@ -134,7 +153,7 @@ def main():
                 batch["gt_bboxes"],
                 batch["gt_labels"],
                 batch["gt_valid"],
-                [s["token"]],
+                [s.get("token", f"sample-{i}")],
             )
 
     metrics = evaluator.evaluate()
@@ -143,7 +162,11 @@ def main():
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump({"results": results, "metrics": metrics}, f)
-    if args.format_nusc and not (args.synthetic or args.ann_file is None):
+    if (
+        args.format_nusc
+        and args.dataset == "nuscenes"
+        and not (args.synthetic or args.ann_file is None)
+    ):
         from graph_detr4d_tpu.eval.submission import (
             boxes_to_nusc_annos,
             write_submission,

@@ -121,6 +121,12 @@ class NuScenesSweepDataset:
             s = sweep[cam]
             c = info["cams"][cam]
             paths.append(s["data_path"])
+            if "lidar2img" in s:
+                # V2 sweep format: matrices precomputed offline
+                # (LoadMultiViewImageFromMultiSweepsFiles_v2,
+                # pipelines/loading.py:306)
+                mats.append(np.asarray(s["lidar2img"], np.float64))
+                continue
             mats.append(
                 sweep_lidar2img(
                     c["cam_intrinsic"],

@@ -83,6 +83,9 @@ class HeadConfig:
     # whenever <= capacity queries project into a camera (overflow count
     # is sown as 'cam_overflow'); 1.0 = off
     cam_capacity: float = 1.0
+    # lane query count for the seg head; must equal the BEV map's 16x16
+    # patch count (petrv2_BEVseg.py:46 uses 256 for a 256x256 map)
+    num_lane: int = 256
     with_fpe: bool = True  # SE gate on the 3D PE (detr3d_head_pe.py:546-553)
     # False = plain Detr3DHead (no 3D position embedding at all,
     # models/dense_heads/detr3d_head.py:16-166 — the detr4d_res50.py
@@ -159,6 +162,7 @@ def tiny_test_config() -> ModelConfig:
             depth_num=8,
             pe_num_feats=32,
             num_frame_cams=3,
+            num_lane=16,
         ),
         coder=CoderConfig(max_num=12),
         loss=LossConfig(max_gt=8),

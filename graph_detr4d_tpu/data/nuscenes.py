@@ -184,7 +184,7 @@ class NuScenesSweepDataset:
             paths = paths + spaths
             l2i = np.concatenate([l2i, sl2i], axis=0)
         gt_bboxes, gt_labels, gt_valid = self.padded_gt(info)
-        return {
+        out = {
             "token": info["token"],
             "image_paths": paths,
             "lidar2img": l2i,
@@ -193,3 +193,8 @@ class NuScenesSweepDataset:
             "gt_valid": gt_valid,
             "timestamp": info["timestamp"],
         }
+        # segmentation variant: BEV map mask path rides along
+        # (LoadMapsFromFiles parity, pipelines/loading.py:10-25)
+        if "map_filename" in info:
+            out["map_filename"] = info["map_filename"]
+        return out

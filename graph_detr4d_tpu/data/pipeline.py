@@ -154,6 +154,18 @@ def apply_ida(
     return np.ascontiguousarray(img), (ida4 @ l2i).astype(np.float32)
 
 
+def load_maps(map_filename: str) -> Tuple[np.ndarray, np.ndarray]:
+    """BEV map-mask loader for the segmentation variant (parity:
+    LoadMapsFromFiles, pipelines/loading.py:10-25): npz 'arr_0'
+    (H, W, C) float mask -> (gt_map (C, H, W), maps (num_patches,
+    C*16*16) 16x16-patchified rows consumed by lane_mask_loss)."""
+    from ..models.petr_seg import maps_to_patches
+
+    arr = np.load(map_filename)["arr_0"].astype(np.float32)
+    gt_map = arr.transpose(2, 0, 1)
+    return gt_map, maps_to_patches(gt_map)
+
+
 def normalize_image(img: np.ndarray) -> np.ndarray:
     return (img.astype(np.float32) - IMG_MEAN) / IMG_STD
 
@@ -320,6 +332,7 @@ def build_batch(
     rng = rng or np.random.RandomState(0)
     images, l2is = [], []
     gtb, gtl, gtv = [], [], []
+    maps = []
     if use_native and not training:
         from ..native import available
 
@@ -365,10 +378,15 @@ def build_batch(
         gtb.append(bboxes)
         gtl.append(s["gt_labels"])
         gtv.append(s["gt_valid"])
-    return {
+        if "map_filename" in s:
+            maps.append(load_maps(s["map_filename"])[1])
+    batch = {
         "images": np.stack(images),
         "lidar2img": np.stack(l2is).astype(np.float32),
         "gt_bboxes": np.stack(gtb),
         "gt_labels": np.stack(gtl),
         "gt_valid": np.stack(gtv),
     }
+    if maps:
+        batch["maps"] = np.stack(maps)
+    return batch

@@ -28,6 +28,7 @@ import flax.linen as nn
 
 from ..ops.msda import multi_scale_deformable_attention
 from ..geometry.projection import denormalize_points
+from ..parallel.mesh import constrain
 from ..utils.math import inverse_sigmoid
 from .layers import LNMLP
 
@@ -199,10 +200,14 @@ class Deform3DCrossAttn(nn.Module):
             )  # (B*N, Q, C)
             sampled = sampled.reshape(B, N, Q, C)
 
-        # per-camera sigmoid gate, sum over cameras (:320-324)
+        # per-camera sigmoid gate, sum over cameras (:320-324). On a
+        # (data, cam) mesh the sum reduces over the sharded camera axis
+        # — GSPMD lowers it to one psum over 'cam' ICI rings.
+        sampled = constrain(sampled, "data", "cam")
         gate = jax.nn.sigmoid(cam_gate_logits.astype(jnp.float32))
         gate = gate.transpose(0, 2, 1)[..., None]  # (B, N, Q, 1)
         out = (sampled.astype(jnp.float32) * gate).sum(axis=1)
+        out = constrain(out, "data")
 
         out = nn.Dense(
             C,

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..config import ModelConfig
+from ..parallel.mesh import constrain
 from .resnet import ResNet
 from .fpn import FPN
 from .head import Detr3DHeadPE
@@ -72,6 +73,7 @@ class GraphDETR4D(nn.Module):
             self.head = PETRHeadSeg(
                 cfg=self.cfg.head,
                 img_shape=self.cfg.img_size,
+                num_lane=self.cfg.head.num_lane,
                 dtype=dtype,
             )
         elif self.cfg.head_type == "detr4d_pe":
@@ -90,11 +92,19 @@ class GraphDETR4D(nn.Module):
         if train and self.cfg.train.use_grid_mask and rng is not None:
             images = grid_mask(rng, images, prob=self.cfg.train.grid_mask_prob)
         dtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
+        # on a (data, cam) mesh the folded conv batch splits over BOTH
+        # axes, partitioning the backbone/FPN FLOPs across chips even at
+        # global batch 1 (no-op on a 1-D mesh / single chip)
+        images = constrain(images, "data", "cam")
         x = images.reshape(B * N, H, W, 3).astype(dtype)
+        x = constrain(x, ("data", "cam"))
         feats = self.backbone(x)
         feats = self.neck(feats)
         return [
-            f.reshape(B, N, *f.shape[1:3], f.shape[-1]) for f in feats
+            constrain(
+                f.reshape(B, N, *f.shape[1:3], f.shape[-1]), "data", "cam"
+            )
+            for f in feats
         ]
 
     def aug_forward(

@@ -9,6 +9,15 @@ written over the *global* batch under jit.
 
 Scaling to multi-slice later is the same code with a larger mesh (DCN axis
 prepended); no backend config, the mesh IS the backend.
+
+Beyond the reference's data parallelism, a 2-D `Mesh(('data', 'cam'))`
+shards the camera axis (the natural "sequence" axis of this model,
+SURVEY §2.10/§5): the conv stack partitions its folded B*N batch over both
+axes, and the cross-attention's per-camera gated sum becomes a GSPMD
+all-reduce over 'cam' — so the 12-camera backbone/FPN/sampling FLOPs split
+across chips even at global batch 1. `constrain()` is the in-model
+annotation point; it no-ops when the ambient mesh lacks the named axes, so
+the same model code runs single-chip, DP, and DPxCAM unchanged.
 """
 
 from typing import Optional, Sequence
@@ -23,10 +32,64 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(
+    devices: Optional[Sequence] = None, cam: int = 1
+) -> Mesh:
+    """(data, cam) mesh: len(devices) must be divisible by `cam`."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % cam:
+        raise ValueError(f"{len(devices)} devices not divisible by cam={cam}")
+    grid = np.asarray(devices).reshape(len(devices) // cam, cam)
+    return Mesh(grid, ("data", "cam"))
+
+
+def constrain(x, *spec_axes):
+    """with_sharding_constraint against the ambient mesh (jax.set_mesh),
+    dropping any axis name the mesh doesn't have. No-op outside a mesh
+    context — model code calls this unconditionally."""
+    mesh = jax.sharding.get_abstract_mesh()
+    names = set(getattr(mesh, "axis_names", ()) or ())
+    if not names:
+        return x
+
+    def keep(a):
+        if a is None:
+            return None
+        parts = a if isinstance(a, tuple) else (a,)
+        parts = tuple(p for p in parts if p in names)
+        if not parts:
+            return None
+        return parts if len(parts) > 1 else parts[0]
+
+    spec = tuple(keep(a) for a in spec_axes)
+    if all(s is None for s in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
+# batch keys whose second axis is the camera axis (B, N, ...)
+_CAM_KEYS = ("images", "lidar2img", "intrinsics", "ida_scale", "depth_factors")
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch with leading batch axis sharded over the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Place a host batch with leading batch axis sharded over the mesh;
+    on a (data, cam) mesh, (B, N, ...) arrays also shard their camera
+    axis."""
+    data_s = NamedSharding(mesh, P(axis))
+    cam_s = (
+        NamedSharding(mesh, P(axis, "cam"))
+        if "cam" in mesh.axis_names
+        else data_s
+    )
+    return {
+        k: jax.device_put(
+            v,
+            cam_s
+            if k in _CAM_KEYS and getattr(v, "ndim", 0) >= 2
+            else data_s,
+        )
+        for k, v in batch.items()
+    }
 
 
 def replicate(tree, mesh: Mesh):

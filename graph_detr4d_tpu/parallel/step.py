@@ -110,13 +110,30 @@ def build_train_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
-    return jax.jit(
+    # on a (data, cam) mesh the batch arrives per-key sharded via
+    # shard_batch (camera axis split over 'cam'); leave its in_sharding
+    # to the committed placement and let the model's constrain() points
+    # drive GSPMD
+    data = None if "cam" in mesh.axis_names else batch_sharding(mesh)
+    jitted = jax.jit(
         train_step,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+    return _with_mesh(jitted, mesh)
+
+
+def _with_mesh(fn, mesh: Mesh):
+    """Run a jitted step under jax.set_mesh so in-model constrain()
+    annotations resolve against the ambient mesh."""
+
+    def wrapped(*args, **kwargs):
+        with jax.set_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    wrapped.lower = lambda *a, **k: fn.lower(*a, **k)
+    return wrapped
 
 
 def build_eval_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
@@ -139,6 +156,13 @@ def build_eval_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
         return jax.jit(eval_step)
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    if "cam" in mesh.axis_names:
+        jitted = jax.jit(
+            eval_step,
+            in_shardings=(repl, repl, None),
+            out_shardings=data,
+        )
+        return _with_mesh(jitted, mesh)
     return jax.jit(
         eval_step,
         in_shardings=(repl, repl, data),

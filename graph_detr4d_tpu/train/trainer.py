@@ -56,6 +56,8 @@ class Trainer:
         eval_fn: Optional[Callable] = None,
         seed: int = 0,
         log_interval: int = 50,
+        mesh=None,
+        profile_steps: int = 0,
     ):
         self.model = model
         self.cfg = cfg
@@ -63,8 +65,13 @@ class Trainer:
         self.batch_iter = batch_iter
         self.eval_fn = eval_fn
         self.log_interval = log_interval
+        # jax.profiler trace of `profile_steps` post-compile steps into
+        # work_dir/profile (the reference's only profiling story is
+        # benchmark.py wall-clock; SURVEY §5 asks for a proper trace hook)
+        self.profile_steps = profile_steps
+        self._profiling = False
 
-        self.mesh = make_mesh()
+        self.mesh = mesh if mesh is not None else make_mesh()
         self.state = replicate(
             init_state(model, cfg, jax.random.PRNGKey(seed)), self.mesh
         )
@@ -93,10 +100,20 @@ class Trainer:
             step = int(self.state.step)
             if step >= total_steps:
                 break
+            if self.profile_steps > 0 and step == 1 and not self._profiling:
+                jax.profiler.start_trace(
+                    os.path.join(self.work_dir, "profile")
+                )
+                self._profiling = True
             batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(
                 self.state, batch, self.rng
             )
+            if self._profiling and step + 1 >= 1 + self.profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self.profile_steps = 0
             window.append(metrics)
             if (step + 1) % self.log_interval == 0:
                 avg = {

@@ -312,3 +312,22 @@ def test_native_loader_matches_python_path(tmp_path):
     ref, _ = apply_ida(load_image(paths[0]), np.eye(4), p)
     ref = normalize_image(ref)
     assert float(np.abs(nat - ref).mean()) < 0.06  # PIL downscale differs
+
+
+def test_load_maps_roundtrip(tmp_path):
+    """LoadMapsFromFiles parity (pipelines/loading.py:10-25): npz arr_0
+    (H, W, C) -> gt_map (C, H, W) + 16x16 patch rows; patches invert back
+    to the map."""
+    from graph_detr4d_tpu.data.pipeline import load_maps
+    from graph_detr4d_tpu.models.petr_seg import patches_to_map
+    import jax.numpy as jnp
+
+    mask = (RNG.rand(64, 64, 3) > 0.5).astype(np.float32)
+    path = tmp_path / "map.npz"
+    np.savez(path, mask)
+
+    gt_map, patches = load_maps(str(path))
+    assert gt_map.shape == (3, 64, 64)
+    assert patches.shape == (16, 3 * 256)
+    back = np.asarray(patches_to_map(jnp.asarray(patches)))
+    np.testing.assert_array_equal(back, gt_map)

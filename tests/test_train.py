@@ -146,9 +146,10 @@ def test_petr_seg_train_step_with_maps():
         k: jnp.asarray(v)
         for k, v in synthetic_batch(cfg, 1, num_gt=3).items()
     }
-    # default PETRHeadSeg: 100 lane queries x 768-logit patches
+    # lane-query count must equal the map's 16x16 patch count
+    # (petrv2_BEVseg.py:46: num_lane=256 for a 256x256 map)
     batch["maps"] = jnp.asarray(
-        (rng.rand(1, 100, 768) > 0.8).astype(np.float32)
+        (rng.rand(1, cfg.head.num_lane, 768) > 0.8).astype(np.float32)
     )
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))

@@ -47,6 +47,20 @@ def parse_args():
         "pkl) at every checkpoint interval",
     )
     p.add_argument("--eval-samples", type=int, default=64)
+    p.add_argument(
+        "--profile-steps",
+        type=int,
+        default=0,
+        help="capture a jax.profiler trace of this many steps into "
+        "WORK_DIR/profile (viewable in tensorboard / xprof)",
+    )
+    p.add_argument(
+        "--cam-parallel",
+        type=int,
+        default=1,
+        help="shard the camera axis over this many devices (2-D "
+        "(data, cam) mesh; device count must be divisible)",
+    )
     return p.parse_args()
 
 
@@ -54,6 +68,10 @@ def main():
     args = parse_args()
     import jax
 
+    # the axon sitecustomize forces jax_platforms to the TPU plugin;
+    # GRD4D_PLATFORM=cpu overrides it for debugging without the tunnel
+    if os.environ.get("GRD4D_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
@@ -77,7 +95,14 @@ def main():
 
             cfg = apply_overrides(cfg, args.cfg_options)
     n_dev = len(jax.devices())
-    batch_size = args.batch_size or n_dev
+    mesh = None
+    if args.cam_parallel > 1:
+        from graph_detr4d_tpu.parallel.mesh import make_mesh_2d
+
+        mesh = make_mesh_2d(jax.devices(), cam=args.cam_parallel)
+        batch_size = args.batch_size or max(1, n_dev // args.cam_parallel)
+    else:
+        batch_size = args.batch_size or n_dev
     model = GraphDETR4D(cfg)
     total = args.total_steps or cfg.train.total_steps
 
@@ -166,7 +191,7 @@ def main():
 
     trainer = Trainer(
         model, cfg, args.work_dir, batches(), eval_fn=eval_fn,
-        seed=args.seed,
+        seed=args.seed, mesh=mesh, profile_steps=args.profile_steps,
     )
     if args.resume:
         step = trainer.resume()

@@ -96,3 +96,103 @@ def test_resnet50_matches_torch_oracle():
             atol=1e-4,
             err_msg=f"stage {stage} diverged from the torch oracle",
         )
+
+
+def test_msda_matches_torch_grid_sample():
+    """ops/msda vs the mmcv MultiScaleDeformableAttnFunction semantics
+    expressed in torch: per-(head, level) F.grid_sample with
+    grid = 2*loc - 1, align_corners=False, zero padding, then
+    attention-weighted sum over levels x points
+    (deform3d_cross_attn.py:301-309 calls the CUDA op with exactly this
+    convention)."""
+    from graph_detr4d_tpu.ops.msda import multi_scale_deformable_attention
+
+    B, Q, nheads, P, hd = 2, 7, 4, 3, 8
+    shapes = [(10, 18), (5, 9)]
+    L = len(shapes)
+    values = [
+        RNG.randn(B, h, w, nheads, hd).astype(np.float32) for h, w in shapes
+    ]
+    loc = RNG.uniform(-0.2, 1.2, (B, Q, nheads, L, P, 2)).astype(np.float32)
+    attn = RNG.rand(B, Q, nheads, L, P).astype(np.float32)
+
+    want = np.zeros((B, Q, nheads, hd), np.float32)
+    for lvl in range(L):
+        # (B, nheads, hd, H, W) -> grid_sample input (B*nheads, hd, H, W)
+        v = torch.from_numpy(values[lvl]).permute(0, 3, 4, 1, 2)
+        v = v.reshape(B * nheads, hd, *shapes[lvl])
+        grid = torch.from_numpy(2.0 * loc[:, :, :, lvl] - 1.0)
+        grid = grid.permute(0, 2, 1, 3, 4).reshape(B * nheads, Q, P, 2)
+        s = F.grid_sample(
+            v, grid, mode="bilinear", padding_mode="zeros",
+            align_corners=False,
+        )  # (B*nheads, hd, Q, P)
+        s = s.reshape(B, nheads, hd, Q, P).numpy()
+        want += np.einsum(
+            "bhcqp,bqhp->bqhc", s, attn[:, :, :, lvl]
+        )
+
+    for impl in ("gather4", "shift4", "pair"):
+        got = np.asarray(
+            multi_scale_deformable_attention(
+                [jnp.asarray(v) for v in values],
+                jnp.asarray(loc),
+                jnp.asarray(attn),
+                impl=impl,
+            )
+        )
+        np.testing.assert_allclose(
+            got,
+            want.reshape(B, Q, nheads * hd),
+            rtol=1e-4,
+            atol=1e-4,
+            err_msg=f"impl={impl} diverged from torch grid_sample",
+        )
+
+
+def test_self_attn_conversion_matches_torch_mha():
+    """The checkpoint converter's packed-in_proj split
+    (tools/convert_checkpoint.py:180-198) must reproduce torch
+    nn.MultiheadAttention numerics through flax
+    MultiHeadDotProductAttention — the decoder's self-attention
+    (DetrTransformerDecoderLayer attentions.0 in the reference)."""
+    import flax.linen as nn
+
+    C, h = 32, 4
+    hd = C // h
+    mha = torch.nn.MultiheadAttention(C, h, batch_first=True)
+    mha.eval()
+    sd = {k: v.detach().numpy() for k, v in mha.state_dict().items()}
+
+    w, b = sd["in_proj_weight"], sd["in_proj_bias"]
+    params = {}
+    for gi, name in enumerate(("query", "key", "value")):
+        params[name] = {
+            "kernel": jnp.asarray(
+                np.transpose(w[gi * C:(gi + 1) * C]).reshape(C, h, hd)
+            ),
+            "bias": jnp.asarray(b[gi * C:(gi + 1) * C].reshape(h, hd)),
+        }
+    params["out"] = {
+        "kernel": jnp.asarray(
+            np.transpose(sd["out_proj.weight"]).reshape(h, hd, C)
+        ),
+        "bias": jnp.asarray(sd["out_proj.bias"]),
+    }
+
+    q = RNG.randn(2, 5, C).astype(np.float32)
+    v = RNG.randn(2, 5, C).astype(np.float32)
+    with torch.no_grad():
+        want, _ = mha(_t(q), _t(q), _t(v))
+
+    attn = nn.MultiHeadDotProductAttention(num_heads=h, dropout_rate=0.0)
+    got = attn.apply(
+        {"params": params},
+        jnp.asarray(q),
+        jnp.asarray(q),
+        jnp.asarray(v),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5
+    )

@@ -46,6 +46,47 @@ class MetricLogger:
                     self.tb.add_scalar(k, v, step)
 
 
+class PrefetchIterator:
+    """Host-side input prefetch: a daemon thread runs the (numpy) batch
+    pipeline `depth` batches ahead so JPEG decode + augmentation overlap
+    the device step — the TPU analog of the reference's
+    workers_per_gpu=4 DataLoader processes (SURVEY §3.1). The underlying
+    iterator runs entirely in the worker thread; numpy/cv2 release the
+    GIL in the hot paths (and the C++ native loader never takes it)."""
+
+    _DONE = object()
+
+    def __init__(self, it: Iterable[dict], depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 class Trainer:
     def __init__(
         self,
@@ -58,11 +99,16 @@ class Trainer:
         log_interval: int = 50,
         mesh=None,
         profile_steps: int = 0,
+        prefetch: int = 2,
     ):
         self.model = model
         self.cfg = cfg
         self.work_dir = work_dir
-        self.batch_iter = batch_iter
+        self.batch_iter = (
+            PrefetchIterator(batch_iter, depth=prefetch)
+            if prefetch > 0
+            else batch_iter
+        )
         self.eval_fn = eval_fn
         self.log_interval = log_interval
         # jax.profiler trace of `profile_steps` post-compile steps into

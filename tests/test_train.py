@@ -155,3 +155,24 @@ def test_petr_seg_train_step_with_maps():
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["loss_mask"]))
     assert float(metrics["loss_mask"]) > 0
+
+
+def test_prefetch_iterator_order_and_errors():
+    """Prefetch preserves order, terminates, and re-raises pipeline
+    exceptions on the consumer side."""
+    from graph_detr4d_tpu.train.trainer import PrefetchIterator
+
+    got = list(PrefetchIterator(iter(range(17)), depth=3))
+    assert got == list(range(17))
+
+    def boom():
+        yield 1
+        raise RuntimeError("pipeline died")
+
+    it = PrefetchIterator(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="pipeline died"):
+        next(it)
+        next(it)

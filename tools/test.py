@@ -37,6 +37,14 @@ def parse_args():
     )
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument(
+        "--cam-parallel",
+        type=int,
+        default=1,
+        help="shard the camera axis over this many devices for inference "
+        "(2-D (data, cam) mesh — the win case is batch-1 serving, where "
+        "the per-camera backbone/FPN/sampling FLOPs split across chips)",
+    )
     return p.parse_args()
 
 
@@ -44,6 +52,9 @@ def main():
     args = parse_args()
     import jax
 
+    # GRD4D_PLATFORM=cpu overrides the axon-forced TPU platform
+    if os.environ.get("GRD4D_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
@@ -73,17 +84,30 @@ def main():
         if params is not None:
             state = state.replace(params=params)
             print(f"loaded weights from {args.checkpoint}")
-    eval_step = build_eval_step(model, cfg)
+    mesh = None
+    if args.cam_parallel > 1:
+        from graph_detr4d_tpu.parallel.mesh import make_mesh_2d
+
+        # serving layout: data=1, cam=N (batch 1 per step; the camera
+        # axis carries all the parallelism)
+        mesh = make_mesh_2d(
+            jax.devices()[: args.cam_parallel], cam=args.cam_parallel
+        )
+    eval_step = build_eval_step(model, cfg, mesh)
 
     evaluator = DetectionEvaluator()
     results = []
 
     def run_batch(batch, gt_bboxes, gt_labels, gt_valid, tokens):
-        det = eval_step(
-            state.params,
-            state.batch_stats,
-            {k: jnp.asarray(v) for k, v in batch.items()},
-        )
+        if mesh is not None:
+            from graph_detr4d_tpu.parallel.mesh import shard_batch
+
+            dev_batch = shard_batch(
+                {k: np.asarray(v) for k, v in batch.items()}, mesh
+            )
+        else:
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        det = eval_step(state.params, state.batch_stats, dev_batch)
         boxes = np.asarray(det.bboxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)

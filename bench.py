@@ -51,7 +51,11 @@ def main():
     batch = synthetic_batch(cfg, batch_size=1)
     imgs = jnp.asarray(batch["images"])
     l2i = jnp.asarray(batch["lidar2img"])
-    variables = model.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+    # jitted init: one compiled program instead of thousands of eager op
+    # dispatches over the device tunnel
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, imgs, l2i
+    )
 
     # NOTE: timing protocol chains iterations through a device scalar and
     # ends with a host value fetch. On this runtime block_until_ready can

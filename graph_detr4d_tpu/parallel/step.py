@@ -34,7 +34,8 @@ def init_state(model, cfg: ModelConfig, rng) -> TrainState:
     H, W = cfg.img_size
     imgs = jnp.zeros((B, N, H, W, 3), jnp.float32)
     l2i = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, N, 4, 4))
-    variables = model.init({"params": rng}, imgs, l2i)
+    # jitted init: one compiled program instead of eager per-op dispatch
+    variables = jax.jit(model.init)({"params": rng}, imgs, l2i)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = build_optimizer(cfg.train)

@@ -17,6 +17,62 @@ by all K taps.
 
 import jax.numpy as jnp
 
+# below this padded-grid pixel count, taps are sampled by a weighted
+# one-hot matmul on the MXU instead of gathers — same measured knee as
+# ops/msda.py ONEHOT_MAX_PIXELS: gathers are row-count/bandwidth-bound
+# (~73 GB/s), while a (samples x pixels) matmul streams at full HBM
+# bandwidth and MXU throughput. On the flagship 640x1600 input this
+# routes ResNet stage 4 (22x52 padded = 1144 px) through the MXU.
+ONEHOT_MAX_PIXELS = 1536
+
+
+def _sample_taps_onehot(x, offsets, base_y, base_x, kernel_size, dtype):
+    """All-tap bilinear sampling as one weighted one-hot matmul per tap.
+
+    The 4 bilinear corner weights of every sample become 4 scaled
+    one-hot rows summed into a (B, S, P) matrix M; sampled = M @ xflat.
+    Exactly the gather path's corner weights/indices (zero outside the
+    valid image)."""
+    B, H, W, Cin = x.shape
+    K = kernel_size * kernel_size
+    Hp, Wp = H + 2, W + 2
+    xflat = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).reshape(
+        B, Hp * Wp, Cin
+    )
+    cols = jnp.arange(Hp * Wp, dtype=jnp.int32)
+    cdy = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    cdx = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+    taps = []
+    for k in range(K):
+        ky, kx = divmod(k, kernel_size)
+        py = base_y[None] + ky + offsets[..., k, 0].astype(jnp.float32)
+        px = base_x[None] + kx + offsets[..., k, 1].astype(jnp.float32)
+        y0 = jnp.floor(py)
+        x0 = jnp.floor(px)
+        ly = py - y0
+        lx = px - x0
+        w_y = jnp.stack([1.0 - ly, 1.0 - ly, ly, ly], -1)
+        w_x = jnp.stack([1.0 - lx, lx, 1.0 - lx, lx], -1)
+        cy = y0[..., None] + cdy
+        cx = x0[..., None] + cdx
+        inb = (cy >= 0) & (cy < H) & (cx >= 0) & (cx < W)
+        w = (w_y * w_x * inb.astype(jnp.float32)).astype(dtype)
+        iy = jnp.clip(cy + 1.0, 0, Hp - 1)
+        ix = jnp.clip(cx + 1.0, 0, Wp - 1)
+        idx = (iy * Wp + ix).astype(jnp.int32)  # (B, Ho, Wo, 4)
+        Bq, Ho, Wo, _ = idx.shape
+        idx = idx.reshape(Bq, Ho * Wo, 4)
+        wf = w.reshape(Bq, Ho * Wo, 4)
+        m = jnp.einsum(
+            "bsc,bscp->bsp",
+            wf,
+            (idx[..., None] == cols).astype(dtype),
+        )  # (B, S, P)
+        taps.append(
+            jnp.einsum("bsp,bpc->bsc", m, xflat).reshape(Bq, Ho, Wo, Cin)
+        )
+    return jnp.stack(taps, axis=3)  # (B, Ho, Wo, K, Cin)
+
 
 def deform_conv2d(
     x: jnp.ndarray,
@@ -46,6 +102,19 @@ def deform_conv2d(
     xs = jnp.arange(Wo, dtype=jnp.float32) * stride - padding
     base_y = ys[:, None]  # (Ho, 1)
     base_x = xs[None, :]  # (1, Wo)
+
+    if (H + 2) * (W + 2) <= ONEHOT_MAX_PIXELS:
+        patches = _sample_taps_onehot(
+            x, offsets, base_y, base_x, kernel_size, dtype
+        )
+        patches = patches * mask[..., None].astype(dtype)
+        out = jnp.einsum(
+            "bhwkc,kco->bhwo",
+            patches,
+            weight.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(dtype)
 
     # shifted-concat copy: one gathered row at (y0+1, x0+1) holds all four
     # bilinear corners; zero borders implement zero-padding sampling

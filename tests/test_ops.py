@@ -259,3 +259,36 @@ def test_match_targets_non_prefix_validity():
         np.asarray(t_pref.bbox_targets),
         atol=1e-6,
     )
+
+
+def test_dcn_onehot_path_matches_gather_path(monkeypatch):
+    """The small-grid one-hot MXU sampling must equal the gather path
+    bit-near-exactly (same corner weights, indices, masking) on random
+    offsets including far out-of-bounds ones."""
+    from graph_detr4d_tpu.ops import deform_conv as dc
+
+    rng = np.random.RandomState(3)
+    B, H, W, Cin, Cout, K = 2, 10, 14, 8, 6, 9
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    off = jnp.asarray(rng.randn(B, H, W, K, 2) * 3.0, jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, K), jnp.float32)
+    w = jnp.asarray(rng.randn(K, Cin, Cout), jnp.float32)
+
+    monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 10**9)
+    onehot = dc.deform_conv2d(x, off, mask, w, stride=1, padding=1)
+    monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 0)
+    gather = dc.deform_conv2d(x, off, mask, w, stride=1, padding=1)
+    np.testing.assert_allclose(
+        np.asarray(onehot), np.asarray(gather), rtol=1e-5, atol=1e-5
+    )
+
+    # stride-2 output grid too
+    off2 = off[:, ::2, ::2]
+    mask2 = mask[:, ::2, ::2]
+    monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 10**9)
+    onehot2 = dc.deform_conv2d(x, off2, mask2, w, stride=2, padding=1)
+    monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 0)
+    gather2 = dc.deform_conv2d(x, off2, mask2, w, stride=2, padding=1)
+    np.testing.assert_allclose(
+        np.asarray(onehot2), np.asarray(gather2), rtol=1e-5, atol=1e-5
+    )

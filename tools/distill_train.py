@@ -80,7 +80,9 @@ def main():
     batch0 = synthetic_batch(t_cfg, batch_size=1, seed=0)
     imgs0 = jnp.asarray(batch0["images"])
     l2i0 = jnp.asarray(batch0["lidar2img"])
-    tvars = teacher.init({"params": jax.random.PRNGKey(0)}, imgs0, l2i0)
+    tvars = jax.jit(teacher.init)(
+        {"params": jax.random.PRNGKey(0)}, imgs0, l2i0
+    )
     if args.teacher_checkpoint:
         mngr = CheckpointManager(args.teacher_checkpoint, t_cfg)
         params = mngr.load_weights(
@@ -95,7 +97,7 @@ def main():
     dist = Distiller(
         student_cfg=s_cfg, teacher_feat_channels=t_cfg.neck.out_channels
     )
-    dvars = dist.init(
+    dvars = jax.jit(dist.init)(
         {"params": jax.random.PRNGKey(1)},
         imgs0,
         l2i0,

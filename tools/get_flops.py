@@ -44,7 +44,7 @@ def main():
     model = GraphDETR4D(cfg)
     b = synthetic_batch(cfg, 1)
     imgs, l2i = jnp.asarray(b["images"]), jnp.asarray(b["lidar2img"])
-    variables = model.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, imgs, l2i)
 
     lowered = jax.jit(
         lambda v, i, l: model.apply(v, i, l)

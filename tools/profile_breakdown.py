@@ -46,7 +46,7 @@ def main(H=640, W=1600, N=6, use_dcn=True):
     batch = synthetic_batch(cfg, batch_size=1)
     imgs = jnp.asarray(batch["images"])
     l2i = jnp.asarray(batch["lidar2img"])
-    variables = model.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, imgs, l2i)
 
     feats_fn = jax.jit(
         lambda i: model.apply(

@@ -242,7 +242,7 @@ def _sample_level_pair(value, loc, attn):
 
 
 # below this pixel count a level is sampled by one-hot matmul on the MXU
-ONEHOT_MAX_PIXELS = 1536
+ONEHOT_MAX_PIXELS = 4200
 
 
 def multi_scale_deformable_attention(

@@ -67,3 +67,49 @@ def test_make_mesh_2d_shape():
     assert mesh.devices.shape == (2, 4)
     with pytest.raises(ValueError):
         make_mesh_2d(jax.devices()[:6], cam=4)
+
+
+def test_cam_mesh_eval_step_matches_single_device():
+    """Inference on a (data=1, cam=2) serving mesh decodes the same boxes
+    as the unsharded eval step (tools/test.py --cam-parallel layout)."""
+    from graph_detr4d_tpu.parallel.step import build_eval_step
+
+    cfg = tiny_test_config()
+    model = GraphDETR4D(cfg)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    batch_np = synthetic_batch(cfg, batch_size=1, num_gt=4)
+    dev_batch = {
+        "images": jnp.asarray(batch_np["images"]),
+        "lidar2img": jnp.asarray(batch_np["lidar2img"]),
+    }
+
+    det_ref = build_eval_step(model, cfg)(
+        state.params, state.batch_stats, dev_batch
+    )
+
+    mesh = make_mesh_2d(jax.devices()[:2], cam=2)
+    sharded = shard_batch(
+        {k: np.asarray(v) for k, v in dev_batch.items()}, mesh
+    )
+    det_cam = build_eval_step(model, cfg, mesh)(
+        state.params, state.batch_stats, sharded
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(det_ref.valid), np.asarray(det_cam.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_ref.labels), np.asarray(det_cam.labels)
+    )
+    np.testing.assert_allclose(
+        np.asarray(det_ref.bboxes),
+        np.asarray(det_cam.bboxes),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(det_ref.scores),
+        np.asarray(det_cam.scores),
+        rtol=1e-4,
+        atol=1e-5,
+    )

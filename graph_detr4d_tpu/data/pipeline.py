@@ -313,6 +313,53 @@ def scale_aware_resize(
     return out_imgs, new_l2i, depth_factors, ida_mat
 
 
+def random_scale_multiview(
+    imgs: Sequence[np.ndarray],
+    lidar2img: np.ndarray,  # (N, 4, 4)
+    rand_scale: float,
+):
+    """Pure-2D random image scale (RandomScaleImageMultiViewImage,
+    transform_3d.py:838-878): resize every view by `rand_scale` and
+    left-multiply lidar2img with the pixel scale — geometry (and GT)
+    untouched. Returns (imgs, new_l2i)."""
+    h, w = imgs[0].shape[:2]
+    th, tw = int(h * rand_scale), int(w * rand_scale)
+    out_imgs = [_resize_img(im, (th, tw)) for im in imgs]
+    S = np.eye(4)
+    S[0, 0] = S[1, 1] = rand_scale
+    new_l2i = np.asarray(
+        [S @ l for l in lidar2img], np.float32
+    )
+    return out_imgs, new_l2i
+
+
+def random_resize_depth_scaled(
+    imgs: Sequence[np.ndarray],
+    lidar2img: np.ndarray,  # (N, 4, 4)
+    gt_bboxes: np.ndarray,  # (G, >=3) centers in cols 0:3
+    target_hw,  # (y, x) target size, aspect kept via min factor
+):
+    """Depth-scaled resize + GT rescale (RandomResizeImageMultiViewImage +
+    ScaleAnnotations3D, transform_3d.py:786-833): lidar2img becomes
+    S @ L @ diag(r, r, r, 1) and box centers divide by r, so the world
+    shrinks with the image and projections stay consistent.
+
+    Returns (imgs, new_l2i, new_gt_bboxes, resize_factor)."""
+    h, w = imgs[0].shape[:2]
+    r = min(target_hw[1] / w, target_hw[0] / h)
+    th, tw = int(np.around(h * r)), int(np.around(w * r))
+    out_imgs = [_resize_img(im, (th, tw)) for im in imgs]
+    S = np.eye(4)
+    S[0, 0] = S[1, 1] = r
+    D = np.eye(4)
+    D[0, 0] = D[1, 1] = D[2, 2] = r
+    new_l2i = np.asarray([S @ l @ D for l in lidar2img], np.float32)
+    gt = np.array(gt_bboxes, np.float32, copy=True)
+    if gt.size:
+        gt[:, :3] = gt[:, :3] / r
+    return out_imgs, new_l2i, gt, r
+
+
 def build_batch(
     samples: Sequence[dict],
     final_hw: Tuple[int, int],

@@ -331,3 +331,53 @@ def test_load_maps_roundtrip(tmp_path):
     assert patches.shape == (16, 3 * 256)
     back = np.asarray(patches_to_map(jnp.asarray(patches)))
     np.testing.assert_array_equal(back, gt_map)
+
+
+def test_random_scale_multiview_projection_consistency():
+    """RandomScaleImageMultiViewImage parity: pixels scale by the factor,
+    world geometry untouched."""
+    from graph_detr4d_tpu.data.pipeline import random_scale_multiview
+
+    imgs = [RNG.randint(0, 255, (64, 128, 3), np.uint8) for _ in range(2)]
+    l2i = np.stack([np.eye(4), np.diag([2.0, 2.0, 1.0, 1.0])]).astype(
+        np.float64
+    )
+    l2i[:, 0, 3] = 7.0
+    out, new_l2i = random_scale_multiview(imgs, l2i, 0.5)
+    assert out[0].shape[:2] == (32, 64)
+    p = np.array([3.0, 4.0, 2.0, 1.0])
+    for i in range(2):
+        before = l2i[i] @ p
+        after = new_l2i[i] @ p
+        np.testing.assert_allclose(
+            after[:2] / after[2], 0.5 * before[:2] / before[2], rtol=1e-6
+        )
+
+
+def test_random_resize_depth_scaled_gt_consistency():
+    """RandomResizeImageMultiViewImage + ScaleAnnotations3D parity: the
+    rescaled GT center projects to factor-scaled pixels through the new
+    lidar2img."""
+    from graph_detr4d_tpu.data.pipeline import random_resize_depth_scaled
+
+    imgs = [RNG.randint(0, 255, (60, 120, 3), np.uint8)]
+    K = np.array(
+        [
+            [100.0, 0, 60, 0],
+            [0, 100.0, 30, 0],
+            [0, 0, 1, 0],
+            [0, 0, 0, 1],
+        ]
+    )
+    gt = np.array([[4.0, -2.0, 10.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0]])
+    out, new_l2i, new_gt, r = random_resize_depth_scaled(
+        imgs, K[None], gt, (30, 60)
+    )
+    assert abs(r - 0.5) < 1e-9
+    assert out[0].shape[:2] == (30, 60)
+    np.testing.assert_allclose(new_gt[0, :3], gt[0, :3] / r)
+    before = K @ np.append(gt[0, :3], 1.0)
+    after = new_l2i[0] @ np.append(new_gt[0, :3], 1.0)
+    np.testing.assert_allclose(
+        after[:2] / after[2], r * before[:2] / before[2], rtol=1e-6
+    )

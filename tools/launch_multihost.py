@@ -33,10 +33,17 @@ def main():
     p.add_argument("--coordinator", default=None, help="host:port")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
-    p.add_argument("rest", nargs=argparse.REMAINDER)
-    args = p.parse_args()
+    # NOT argparse.REMAINDER: that would swallow --coordinator & friends
+    # when they appear after the entry positional
+    args, rest = p.parse_known_args()
+    args.rest = rest
 
     import jax
+
+    # must happen before distributed init (the axon sitecustomize forces
+    # the TPU platform; GRD4D_PLATFORM=cpu enables local multi-process)
+    if os.environ.get("GRD4D_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
 
     if args.coordinator:
         jax.distributed.initialize(

@@ -38,6 +38,12 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument(
+        "--no-temporal",
+        action="store_true",
+        help="sample only the current frame's cameras (6-cam single-frame "
+        "mode, the graph-detr3d branch behavior)",
+    )
+    p.add_argument(
         "--cam-parallel",
         type=int,
         default=1,
@@ -97,6 +103,7 @@ def main():
 
     evaluator = DetectionEvaluator()
     results = []
+    eval_samples = []  # multi-host: re-added into rank 0's evaluator
 
     def run_batch(batch, gt_bboxes, gt_labels, gt_valid, tokens):
         if mesh is not None:
@@ -122,6 +129,19 @@ def main():
                 gt_bboxes[b][gkeep],
                 gt_labels[b][gkeep],
             )
+            if jax.process_count() > 1:
+                eval_samples.append(
+                    [
+                        np.asarray(a).tolist()
+                        for a in (
+                            boxes[b][keep],
+                            labels[b][keep],
+                            scores[b][keep],
+                            gt_bboxes[b][gkeep],
+                            gt_labels[b][gkeep],
+                        )
+                    ]
+                )
             results.append(
                 {
                     "token": tokens[b],
@@ -166,8 +186,14 @@ def main():
             for info in ds.infos
             if isinstance(info, dict) and "token" in info
         }
-        for i in range(n):
-            s = ds.sample(i)
+        # multi-host eval: stride the dataset by process, like the
+        # reference's multi_gpu_test per-rank sharding (tools/test.py:223)
+        rank, world = jax.process_index(), jax.process_count()
+        for i in range(rank, n, world):
+            if args.no_temporal and args.dataset == "nuscenes":
+                s = ds.sample(i, temporal=False)
+            else:
+                s = ds.sample(i)
             batch = build_batch([s], cfg.img_size, training=False)
             run_batch(
                 {
@@ -179,6 +205,52 @@ def main():
                 batch["gt_valid"],
                 [s.get("token", f"sample-{i}")],
             )
+
+    # multi-host: each rank writes a partial results file, a cross-host
+    # barrier syncs, then rank 0 merges and evaluates (tmpdir/gpu-collect
+    # parity, tools/test.py:244-246 in the reference)
+    if jax.process_count() > 1:
+        os.makedirs(args.work_dir, exist_ok=True)
+        part = os.path.join(
+            args.work_dir, f"results_rank{jax.process_index()}.json"
+        )
+        tmp = part + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"results": results, "eval_samples": eval_samples}, f)
+        os.replace(tmp, part)  # atomic: pollers never see partial json
+        if jax.process_index() != 0:
+            return
+        # rank 0 collects over the shared filesystem (mmcv tmpdir-collect
+        # parity) — no device collective, so arbitrary rank skew is fine
+        import time as _time
+
+        deadline = _time.time() + 3600
+        want = [
+            os.path.join(args.work_dir, f"results_rank{r}.json")
+            for r in range(jax.process_count())
+        ]
+        while not all(os.path.exists(p) for p in want):
+            if _time.time() > deadline:
+                missing = [p for p in want if not os.path.exists(p)]
+                raise TimeoutError(f"eval ranks never finished: {missing}")
+            _time.sleep(2.0)
+        results = []
+        evaluator = DetectionEvaluator()
+        for r in range(jax.process_count()):
+            with open(
+                os.path.join(args.work_dir, f"results_rank{r}.json")
+            ) as f:
+                partial = json.load(f)
+            results.extend(partial["results"])
+            for es in partial["eval_samples"]:
+                # reshape recovers (0, 9) box arrays that json flattened
+                evaluator.add_sample(
+                    np.asarray(es[0], np.float32).reshape(-1, 9),
+                    np.asarray(es[1], np.int32),
+                    np.asarray(es[2], np.float32),
+                    np.asarray(es[3], np.float32).reshape(-1, 9),
+                    np.asarray(es[4], np.int32),
+                )
 
     metrics = evaluator.evaluate()
     print(json.dumps(metrics, indent=2))

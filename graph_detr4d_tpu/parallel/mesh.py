@@ -81,8 +81,17 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
         if "cam" in mesh.axis_names
         else data_s
     )
+
+    def place(v, s):
+        if jax.process_count() > 1:
+            # multi-host: each process holds its LOCAL batch shard; the
+            # global array is assembled across hosts (single-controller
+            # semantics, replaces DistributedSampler + DDP)
+            return jax.make_array_from_process_local_data(s, np.asarray(v))
+        return jax.device_put(v, s)
+
     return {
-        k: jax.device_put(
+        k: place(
             v,
             cam_s
             if k in _CAM_KEYS and getattr(v, "ndim", 0) >= 2

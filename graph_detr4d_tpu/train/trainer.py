@@ -131,7 +131,12 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(work_dir, "checkpoints"), cfg
         )
-        self.logger = MetricLogger(work_dir)
+        # multi-host: only rank 0 writes checkpoints/logs to the shared
+        # work_dir (params are replicated, so rank 0's copy is the state)
+        self.is_main = jax.process_index() == 0
+        self.logger = MetricLogger(
+            work_dir, use_tensorboard=self.is_main
+        )
 
     def resume(self):
         restored = self.ckpt.restore(jax.tree.map(np.asarray, self.state))
@@ -167,15 +172,19 @@ class Trainer:
                     for k in window[-1]
                 }
                 avg["iter_time"] = (time.time() - t0) / len(window)
-                self.logger.log(step + 1, avg)
+                if self.is_main:
+                    self.logger.log(step + 1, avg)
                 window, t0 = [], time.time()
             if (step + 1) % ckpt_every == 0:
+                # orbax saves are COLLECTIVE in multi-process runs — every
+                # rank must call save (orbax writes from the primary host)
                 self.ckpt.save(
                     step + 1, jax.tree.map(np.asarray, self.state)
                 )
                 if self.eval_fn is not None:
                     results = self.eval_fn(self.state)
-                    self.logger.log(step + 1, results)
+                    if self.is_main:
+                        self.logger.log(step + 1, results)
         self.ckpt.save(
             int(self.state.step), jax.tree.map(np.asarray, self.state)
         )

@@ -106,15 +106,21 @@ def main():
     model = GraphDETR4D(cfg)
     total = args.total_steps or cfg.train.total_steps
 
+    # multi-host: each process loads only its local shard of the global
+    # batch (DistributedSampler parity); parallel/mesh.shard_batch
+    # assembles the global array across hosts
+    rank, world = jax.process_index(), jax.process_count()
+    local_bs = max(1, batch_size // world)
+
     if args.synthetic or args.ann_file is None:
         def batches():
-            seed = args.seed
+            seed = args.seed + rank * 100003
             while True:
                 seed += 1
                 yield {
                     k: np.asarray(v)
                     for k, v in synthetic_batch(
-                        cfg, batch_size, seed=seed
+                        cfg, local_bs, seed=seed
                     ).items()
                 }
     else:
@@ -129,7 +135,11 @@ def main():
         )
 
         def batches():
+            # every process draws the SAME global index sequence (shared
+            # seed) and takes its rank-strided slice of each global batch
+            # (DistributedSampler semantics); augs use a per-rank rng
             rng = np.random.RandomState(args.seed)
+            aug_rng = np.random.RandomState(args.seed + 7919 * rank)
             order = rng.permutation(len(ds))
             i = 0
             while True:
@@ -140,9 +150,10 @@ def main():
                         i = 0
                     idxs.append(int(order[i]))
                     i += 1
-                samples = [ds.sample(j) for j in idxs]
+                local = idxs[rank * local_bs : (rank + 1) * local_bs]
+                samples = [ds.sample(j) for j in local]
                 yield build_batch(
-                    samples, cfg.img_size, training=True, rng=rng
+                    samples, cfg.img_size, training=True, rng=aug_rng
                 )
 
     eval_fn = None

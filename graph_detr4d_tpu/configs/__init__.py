@@ -211,6 +211,17 @@ def graph_detr3d_res50():
     )
 
 
+@register("graph_detr3d_res101")
+def graph_detr3d_res101():
+    """Graph-DETR3D with a ResNet-101 backbone (BASELINE.json config
+    scenario 'ResNet-101 multi-scale graph sampling'; the reference's
+    r101 variants live on the graph-detr3d branch)."""
+    cfg = graph_detr3d_res50()
+    return dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, depth=101)
+    )
+
+
 # --------------------------------------------------------- petr family
 def _petr(backbone="resnet", img_size=(320, 800), **kw) -> ModelConfig:
     head = dict(num_cams=6, with_detach=False)

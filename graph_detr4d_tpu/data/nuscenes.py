@@ -198,3 +198,53 @@ class NuScenesSweepDataset:
         if "map_filename" in info:
             out["map_filename"] = info["map_filename"]
         return out
+
+
+class CBGSDataset:
+    """Class-balanced grouping-and-sampling wrapper (behavioral parity
+    with mmdet3d's CBGSDataset, used by the reference's
+    detr3d_res50.py:165): for every class, the samples containing it are
+    re-drawn so each of the 10 classes contributes ~1/10 of the epoch's
+    sample list. Wraps any dataset exposing `.infos` (with gt_names +
+    valid_flag) and `.sample(idx)`."""
+
+    def __init__(self, dataset, seed: int = 0):
+        self.dataset = dataset
+        rng = np.random.RandomState(seed)
+        num_classes = len(NUSCENES_NAME_TO_LABEL)
+
+        cat_to_ids = {c: [] for c in NUSCENES_NAME_TO_LABEL}
+        for idx, info in enumerate(dataset.infos):
+            names = np.asarray(info.get("gt_names", ())).reshape(-1)
+            if "valid_flag" in info and getattr(
+                dataset, "use_valid_flag", True
+            ):
+                keep = np.asarray(info["valid_flag"], bool)
+                names = names[keep[: len(names)]]
+            for c in set(str(n) for n in names):
+                if c in cat_to_ids:
+                    cat_to_ids[c].append(idx)
+
+        duplicated = sum(len(v) for v in cat_to_ids.values())
+        indices = []
+        for ids in cat_to_ids.values():
+            if not ids:
+                continue
+            frac = len(ids) / duplicated
+            ratio = (1.0 / num_classes) / frac
+            take = int(len(ids) * ratio)
+            indices.extend(
+                rng.choice(ids, take, replace=True).tolist()
+            )
+        # an empty annotation set degenerates to the identity epoch
+        self.indices = indices or list(range(len(dataset)))
+
+    def __len__(self):
+        return len(self.indices)
+
+    @property
+    def infos(self):
+        return self.dataset.infos
+
+    def sample(self, idx: int, **kwargs) -> dict:
+        return self.dataset.sample(self.indices[idx], **kwargs)

@@ -381,3 +381,45 @@ def test_random_resize_depth_scaled_gt_consistency():
     np.testing.assert_allclose(
         after[:2] / after[2], r * before[:2] / before[2], rtol=1e-6
     )
+
+
+def test_cbgs_dataset_balances_classes(tmp_path):
+    """CBGSDataset parity: rare classes get upsampled toward uniform
+    (1/num_classes) share of the epoch index list."""
+    from graph_detr4d_tpu.data.nuscenes import (
+        CBGSDataset,
+        NUSCENES_NAME_TO_LABEL,
+    )
+
+    class Fake:
+        use_valid_flag = True
+
+        def __init__(self):
+            # 90 car-only samples, 10 with a rare class (bicycle)
+            self.infos = []
+            for i in range(90):
+                self.infos.append(
+                    {"gt_names": np.array(["car"]),
+                     "valid_flag": np.array([True])}
+                )
+            for i in range(10):
+                self.infos.append(
+                    {"gt_names": np.array(["car", "bicycle"]),
+                     "valid_flag": np.array([True, True])}
+                )
+
+        def __len__(self):
+            return len(self.infos)
+
+        def sample(self, idx, **kw):
+            return {"idx": idx}
+
+    ds = CBGSDataset(Fake(), seed=0)
+    idx = np.asarray(ds.indices)
+    # bicycle samples (ids >= 90) should appear far more often than their
+    # raw 10% share — near half the list (2 classes present)
+    frac_rare = (idx >= 90).mean()
+    assert 0.3 < frac_rare < 0.7, frac_rare
+    # delegation works
+    assert "idx" in ds.sample(0)
+    assert len(ds) == len(idx)

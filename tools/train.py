@@ -39,6 +39,12 @@ def parse_args():
     p.add_argument("--img-w", type=int, default=800)
     p.add_argument("--tiny", action="store_true", help="tiny debug config")
     p.add_argument("--load-interval", type=int, default=2)
+    p.add_argument(
+        "--cbgs",
+        action="store_true",
+        help="class-balanced resampling (CBGSDataset parity, "
+        "detr3d_res50.py:165)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--val-ann-file",
@@ -133,6 +139,10 @@ def main():
             max_gt=cfg.loss.max_gt,
             seed=args.seed,
         )
+        if args.cbgs:
+            from graph_detr4d_tpu.data.nuscenes import CBGSDataset
+
+            ds = CBGSDataset(ds, seed=args.seed)
 
         def batches():
             # every process draws the SAME global index sequence (shared

@@ -87,6 +87,9 @@ class HeadConfig:
     # patch count (petrv2_BEVseg.py:46 uses 256 for a 256x256 map)
     num_lane: int = 256
     with_fpe: bool = True  # SE gate on the 3D PE (detr3d_head_pe.py:546-553)
+    # 'se' (SELayer) | 'camconv' (SELayerCAMConvV1: SE whose reduce conv
+    # sees camera-intrinsic coordinate channels — the camconvfpe configs)
+    fpe_type: str = "se"
     # False = plain Detr3DHead (no 3D position embedding at all,
     # models/dense_heads/detr3d_head.py:16-166 — the detr4d_res50.py
     # config family)
@@ -128,6 +131,12 @@ class TrainConfig:
     total_steps: int = 84_408  # 12 epochs x nuScenes/2 @ 8x1
     grid_mask_prob: float = 0.7
     use_grid_mask: bool = True
+    # train-pipeline aug switches (the reference's aug/rotaug/rotcropaug
+    # config variants toggle exactly these, e.g.
+    # detr4d_res50_deform_pe_rotaug_2subset_12e.py:142-148)
+    photometric: bool = True
+    ida_aug: bool = True  # ResizeCropFlipImage
+    rot_aug: bool = True  # GlobalRotScaleTransImage
 
 
 @dataclass(frozen=True)

@@ -149,6 +149,88 @@ def detr4d_scale_aware():
     return _detr4d(scale_pred=True)
 
 
+def _with_augs(cfg: ModelConfig, *, photo=True, ida=True, rot=True):
+    return dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, photometric=photo, ida_aug=ida, rot_aug=rot
+        ),
+    )
+
+
+@register("detr4d_res50")
+def detr4d_res50_plain():
+    """Plain Detr3DHead (no 3D PE) with single-point DETR3D attention
+    (configs/detr4d/detr4d_res50.py:49,72)."""
+    return _detr4d(with_pe=False, attn_type="detr3d")
+
+
+@register("detr4d_res50_deform")
+def detr4d_res50_deform():
+    """Plain head + graph deformable sampling, no PE
+    (configs/detr4d/detr4d_res50_deform.py:51,74)."""
+    return _detr4d(with_pe=False)
+
+
+@register("detr4d_res50_deform_ms")
+def detr4d_res50_deform_ms():
+    """Multi-scale sampling over all 4 FPN levels (the default here;
+    configs/detr4d/detr4d_res50_deform_ms.py)."""
+    return _detr4d(with_pe=False)
+
+
+@register("detr4d_res50_mp")
+def detr4d_res50_mp():
+    """Plain head + multi-point graph neighbors
+    (configs/detr4d/detr4d_res50_mp.py:60,73)."""
+    return _detr4d(with_pe=False, attn_type="deform3d_mp")
+
+
+@register("detr4d_res50_deform_aug_2subset_12e")
+def detr4d_deform_aug():
+    """photometric + ida crop/flip, no BEV rot
+    (detr4d_res50_deform_aug_2subset_12e.py pipeline)."""
+    return _with_augs(_detr4d(with_pe=False), rot=False)
+
+
+@register("detr4d_res50_deform_pe_aug_2subset_12e")
+def detr4d_pe_aug():
+    return _with_augs(_detr4d(), rot=False)
+
+
+@register("detr4d_res50_deform_pe_rotaug_2subset_12e")
+def detr4d_pe_rotaug():
+    """photometric + BEV rot/scale, ida OFF
+    (detr4d_res50_deform_pe_rotaug_2subset_12e.py:142-148)."""
+    return _with_augs(_detr4d(), ida=False)
+
+
+@register("detr4d_res50_deform_pe_rotcropaug_2subset_12e")
+def detr4d_pe_rotcropaug():
+    """photometric + ida + BEV rot (all augs on,
+    detr4d_res50_deform_pe_rotcropaug_2subset_12e.py:143-148)."""
+    return _with_augs(_detr4d())
+
+
+@register("detr4d_res50_deform_camconvfpe_2subset_12e")
+def detr4d_camconvfpe():
+    """SE gate with camera-intrinsic coordinate channels
+    (SELayerCAMConvV1, detr3d_head_pe.py:277-295)."""
+    return _detr4d(fpe_type="camconv")
+
+
+@register("detr4d_vovnet")
+def detr4d_vovnet_plain():
+    """VoVNet backbone, plain head, single-point attention
+    (configs/detr4d/detr4d_vovnet.py)."""
+    cfg = _detr4d(with_pe=False, attn_type="detr3d")
+    return dataclasses.replace(
+        cfg,
+        backbone_type="vovnet",
+        neck=NeckConfig(in_channels=(256, 512, 768, 1024)),
+    )
+
+
 @register("h_detr4d_res50_deform_pe_testaug_2subset_12e")
 def h_detr4d():
     """H-DETR hybrid one2one + one2many matching
@@ -263,6 +345,30 @@ def petrv2_r50():
 def petrv2_vovnet():
     cfg = _petr(backbone="vovnet", num_cams=12)
     return dataclasses.replace(cfg, head_type="petrv2")
+
+
+@register("petr_r50dcn_gridmask_c5")
+def petr_c5():
+    """PETR over the single C5 feature map (no pyramid;
+    configs/petr/petr_r50dcn_gridmask_c5.py:46 in_channels=2048). The
+    neck degenerates to one level starting at C5."""
+    cfg = _petr()
+    return dataclasses.replace(
+        cfg,
+        neck=dataclasses.replace(cfg.neck, start_level=3, num_outs=1),
+        head=dataclasses.replace(cfg.head, num_levels=1),
+    )
+
+
+@register("petrv2_vovnet_gridmask_p4_1600x640")
+def petrv2_vovnet_1600():
+    cfg = _petr(backbone="vovnet", img_size=(640, 1600), num_cams=12)
+    return dataclasses.replace(cfg, head_type="petrv2")
+
+
+@register("petrv2_vovnet_gridmask_p4_1600x640_trainval")
+def petrv2_vovnet_1600_trainval():
+    return petrv2_vovnet_1600()
 
 
 @register("petrv2_BEVseg")

@@ -368,6 +368,7 @@ def build_batch(
     rng: Optional[np.random.RandomState] = None,
     src_hw: Tuple[int, int] = (900, 1600),
     use_native: bool = False,
+    aug=None,  # TrainConfig-like with .photometric/.ida_aug/.rot_aug
 ) -> dict:
     """Assemble a fixed-shape batch dict from dataset samples (images
     loaded from disk, one shared ida per sample like the reference).
@@ -377,6 +378,11 @@ def build_batch(
     resize/crop/flip/normalize outside the GIL. Training keeps the
     python path (photometric distortion runs pre-resize)."""
     rng = rng or np.random.RandomState(0)
+    # aug switches default to the flagship 'rotcropaug' behavior; the
+    # reference's aug/rotaug variants flip these per config
+    use_photo = training and (aug is None or aug.photometric)
+    use_ida = aug is None or aug.ida_aug
+    use_rot = training and (aug is None or aug.rot_aug)
     images, l2is = [], []
     gtb, gtl, gtv = [], [], []
     maps = []
@@ -385,7 +391,11 @@ def build_batch(
 
         use_native = available()
     for s in samples:
-        p = sample_ida_params(rng, src_hw, final_hw, training=training)
+        # ida_aug off -> deterministic eval-style resize (no random
+        # crop/flip) even in training
+        p = sample_ida_params(
+            rng, src_hw, final_hw, training=training and use_ida
+        )
         bboxes = s["gt_bboxes"]
         if use_native and not training:
             from ..native import load_images
@@ -410,7 +420,7 @@ def build_batch(
             cams, mats = [], []
             for path, l2i in zip(s["image_paths"], s["lidar2img"]):
                 img = load_image(path)
-                if training:
+                if use_photo:
                     img = photometric_distortion(img, rng)
                 img, m = apply_ida(img, l2i, p)
                 img = normalize_image(img)
@@ -418,7 +428,7 @@ def build_batch(
                 cams.append(img)
                 mats.append(m)
         mats = np.asarray(mats)
-        if training:
+        if use_rot:
             mats, bboxes = global_rot_scale_trans(mats, bboxes, rng)
         images.append(np.stack(cams))
         l2is.append(mats)

@@ -7,6 +7,7 @@ augmentation factor (ida), embedded by a small MLP and applied as a
 squeeze-excite gate after a 3x3 reduce conv.
 """
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -154,3 +155,33 @@ class CAMConv(nn.Module):
         return nn.Conv(
             self.out_channels, (1, 1), dtype=self.dtype, name="conv"
         )(y)
+
+
+class SELayerCAMConv(nn.Module):
+    """SE gate whose reduce conv is camera-aware (SELayerCAMConvV1,
+    detr3d_head_pe.py:277-295): coordinate/intrinsic channels join the
+    gating path so the PE modulation can depend on each camera's optics.
+    Interface matches SELayer: gate(x_se(feat)) applied to `pe`."""
+
+    channels: int
+    img_shape: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pe, feat, intrinsics=None):
+        B, N = feat.shape[:2]
+        if intrinsics is None:
+            intrinsics = jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32), (B, N, 4, 4)
+            )
+        y = CAMConv(
+            self.channels,
+            img_shape=self.img_shape,
+            dtype=self.dtype,
+            name="conv_reduce",
+        )(feat, intrinsics)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.channels, (1, 1), dtype=self.dtype, name="conv_expand"
+        )(y)
+        return pe * jax.nn.sigmoid(y.astype(jnp.float32)).astype(pe.dtype)

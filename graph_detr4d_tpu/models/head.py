@@ -161,7 +161,14 @@ class Detr3DHeadPE(nn.Module):
         adapt_pos3d = TwoLayerMLP(
             C * 4, C, dtype=self.dtype, name="adapt_pos3d"
         )
-        fpe = SELayer(C, dtype=self.dtype, name="fpe")
+        if cfg.fpe_type == "camconv":
+            from .camera_aware import SELayerCAMConv
+
+            fpe = SELayerCAMConv(
+                C, img_shape=self.img_shape, dtype=self.dtype, name="fpe"
+            )
+        else:
+            fpe = SELayer(C, dtype=self.dtype, name="fpe")
 
         if cfg.with_pe:
             feats_pe = []
@@ -170,7 +177,10 @@ class Detr3DHeadPE(nn.Module):
                 pe3d = self._position_embedding(feat, lidar2img)
                 pe = position_encoder(pe3d.astype(self.dtype))
                 if cfg.with_fpe:
-                    pe = fpe(pe, feat)
+                    if cfg.fpe_type == "camconv":
+                        pe = fpe(pe, feat, intrinsics)
+                    else:
+                        pe = fpe(pe, feat)
                 # all-valid masks: the fused input pipeline always pads to
                 # the exact network size, so mask == 0 everywhere (:524-539)
                 mask = jnp.zeros((B, N, H, W), jnp.float32)

@@ -163,7 +163,11 @@ def main():
                 local = idxs[rank * local_bs : (rank + 1) * local_bs]
                 samples = [ds.sample(j) for j in local]
                 yield build_batch(
-                    samples, cfg.img_size, training=True, rng=aug_rng
+                    samples,
+                    cfg.img_size,
+                    training=True,
+                    rng=aug_rng,
+                    aug=cfg.train,
                 )
 
     eval_fn = None

@@ -183,13 +183,16 @@ class Deform3DCrossAttn(nn.Module):
             sampled_sel = multi_scale_deformable_attention(
                 values, loc_flat, attn_flat.astype(self.dtype)
             ).reshape(B, N, K, C)
-            bi = jnp.arange(B)[:, None, None]
-            ni = jnp.arange(N)[None, :, None]
-            sampled = (
-                jnp.zeros((B, N, Q, C), sampled_sel.dtype)
-                .at[bi, ni, sel]
-                .set(sampled_sel)
-            )
+            # expand K compacted rows back to Q via a one-hot matmul on
+            # the MXU (top_k indices are distinct, so exactly one hit per
+            # selected query). A scatter would be equivalent but its
+            # transpose is another scatter; this keeps fwd AND bwd as
+            # matmuls (and avoids a TPU scatter fault seen on this
+            # runtime's training path).
+            onehot = (
+                sel[..., None] == jnp.arange(Q, dtype=sel.dtype)
+            ).astype(sampled_sel.dtype)  # (B, N, K, Q)
+            sampled = jnp.einsum("bnkc,bnkq->bnqc", sampled_sel, onehot)
         else:
             loc_flat = loc.reshape(B * N, Q, H_heads, L, P, 2).astype(
                 self.dtype

@@ -35,6 +35,9 @@ class BackboneConfig:
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
     use_dcn: bool = True  # DCNv2 on stages 3-4 (configs/...12e.py:40-41)
+    # jax.checkpoint per stage (VoVNetCP / torch.utils.checkpoint parity;
+    # needed to fit 12-cam no-detach training in one chip's HBM)
+    remat: bool = False
 
 
 @dataclass(frozen=True)

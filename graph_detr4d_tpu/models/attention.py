@@ -166,16 +166,20 @@ class Deform3DCrossAttn(nn.Module):
             ).sum()
             self.sow("intermediates", "cam_overflow", overflow)
 
-            def take_q(x, idx):
-                # gather along the query axis with leading (B, N) batch
-                return jnp.take_along_axis(
-                    x,
-                    idx.reshape(B, N, K, *([1] * (x.ndim - 3))),
-                    axis=2,
-                )
-
-            loc_sel = take_q(loc, sel)
-            attn_sel = take_q(attn, sel)
+            # ALL compaction data movement runs as one-hot matmuls on the
+            # MXU — select K of Q rows forward, expand K back to Q after
+            # sampling. Gathers/scatters would be equivalent, but their
+            # transposes are scatters, which fault the TPU backend on
+            # this runtime's training path (and matmuls are faster here
+            # anyway). top_k indices are distinct, so each selected query
+            # gets exactly one hit.
+            sel_oh = (
+                sel[..., None] == jnp.arange(Q, dtype=sel.dtype)
+            ).astype(jnp.float32)  # (B, N, K, Q)
+            loc_sel = jnp.einsum(
+                "bnkq,bnqhlpc->bnkhlpc", sel_oh, loc
+            )
+            attn_sel = jnp.einsum("bnkq,bnqhlp->bnkhlp", sel_oh, attn)
             loc_flat = loc_sel.reshape(B * N, K, H_heads, L, P, 2).astype(
                 self.dtype
             )
@@ -183,16 +187,11 @@ class Deform3DCrossAttn(nn.Module):
             sampled_sel = multi_scale_deformable_attention(
                 values, loc_flat, attn_flat.astype(self.dtype)
             ).reshape(B, N, K, C)
-            # expand K compacted rows back to Q via a one-hot matmul on
-            # the MXU (top_k indices are distinct, so exactly one hit per
-            # selected query). A scatter would be equivalent but its
-            # transpose is another scatter; this keeps fwd AND bwd as
-            # matmuls (and avoids a TPU scatter fault seen on this
-            # runtime's training path).
-            onehot = (
-                sel[..., None] == jnp.arange(Q, dtype=sel.dtype)
-            ).astype(sampled_sel.dtype)  # (B, N, K, Q)
-            sampled = jnp.einsum("bnkc,bnkq->bnqc", sampled_sel, onehot)
+            sampled = jnp.einsum(
+                "bnkc,bnkq->bnqc",
+                sampled_sel,
+                sel_oh.astype(sampled_sel.dtype),
+            )
         else:
             loc_flat = loc.reshape(B * N, Q, H_heads, L, P, 2).astype(
                 self.dtype

@@ -34,6 +34,7 @@ class GraphDETR4D(nn.Module):
             self.backbone = VoVNet(
                 spec_name=self.cfg.vovnet_spec,
                 out_indices=self.cfg.backbone.out_indices,
+                remat=self.cfg.backbone.remat,
                 dtype=dtype,
             )
         elif self.cfg.backbone_type == "mobilenetv2":
@@ -49,6 +50,7 @@ class GraphDETR4D(nn.Module):
                 out_indices=self.cfg.backbone.out_indices,
                 stage_with_dcn=self.cfg.backbone.stage_with_dcn,
                 use_dcn=self.cfg.backbone.use_dcn,
+                remat=self.cfg.backbone.remat,
                 dtype=dtype,
             )
         self.neck = FPN(

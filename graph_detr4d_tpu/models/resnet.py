@@ -193,25 +193,16 @@ class ResNet(nn.Module):
         width = 64
         for stage, num_blocks in enumerate(stage_blocks):
             dcn = self.use_dcn and self.stage_with_dcn[stage]
+            cls = nn.remat(block_cls) if self.remat else block_cls
             for b in range(num_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                block = block_cls(
+                x = cls(
                     features=width,
                     stride=stride,
                     use_dcn=dcn,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
-                )
-                if self.remat:
-                    x = nn.remat(type(block))(
-                        features=width,
-                        stride=stride,
-                        use_dcn=dcn,
-                        dtype=self.dtype,
-                        name=f"layer{stage + 1}_block{b}",
-                    )(x)
-                else:
-                    x = block(x)
+                )(x)
             if stage in self.out_indices:
                 outs.append(x)
             width *= 2

@@ -327,3 +327,21 @@ def test_cam_capacity_compaction_exact(model_and_vars):
         # capacity exceeded on this synthetic rig: outputs may differ;
         # the overflow counter must expose it
         assert overflow > 0
+
+
+def test_resnet_remat_matches_plain():
+    """remat=True (VoVNetCP/torch.utils.checkpoint parity) must keep the
+    param tree and outputs identical to the plain backbone."""
+    from graph_detr4d_tpu.models.resnet import ResNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 96, 3), jnp.float32)
+    plain = ResNet(depth=18, use_dcn=False)
+    rem = ResNet(depth=18, use_dcn=False, remat=True)
+    v1 = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+    v2 = jax.jit(rem.init)(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v1) == jax.tree.structure(v2)
+    for a, b in zip(plain.apply(v1, x), rem.apply(v1, x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )

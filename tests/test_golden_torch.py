@@ -196,3 +196,56 @@ def test_self_attn_conversion_matches_torch_mha():
     np.testing.assert_allclose(
         np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_deform_conv_matches_torch_grid_sample():
+    """ops/deform_conv vs mmcv ModulatedDeformConv2d semantics expressed
+    in torch: per tap, sample x at (out*stride - pad + tap + offset) with
+    bilinear zero-padding (grid_sample align_corners=False over the
+    padded coordinate space), scale by the mask, contract with the
+    weight."""
+    from graph_detr4d_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.RandomState(5)
+    B, H, W, Cin, Cout = 2, 9, 13, 4, 6
+    ks, pad, stride = 3, 1, 1
+    K = ks * ks
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    off = (rng.randn(B, H, W, K, 2) * 2.5).astype(np.float32)
+    mask = rng.rand(B, H, W, K).astype(np.float32)
+    w = rng.randn(K, Cin, Cout).astype(np.float32)
+
+    got = np.asarray(
+        deform_conv2d(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(mask),
+            jnp.asarray(w), stride=stride, padding=pad,
+        )
+    )
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # (B, C, H, W)
+    ys = np.arange(H, dtype=np.float32) * stride - pad
+    xs = np.arange(W, dtype=np.float32) * stride - pad
+    want = np.zeros((B, H, W, Cout), np.float32)
+    for k in range(K):
+        ky, kx = divmod(k, ks)
+        py = ys[None, :, None] + ky + off[..., k, 0]  # (B, H, W)
+        px = xs[None, None, :] + kx + off[..., k, 1]
+        # normalized grid for align_corners=False: (2*p + 1)/size - 1
+        gx = (2.0 * px + 1.0) / W - 1.0
+        gy = (2.0 * py + 1.0) / H - 1.0
+        grid = torch.from_numpy(np.stack([gx, gy], -1))
+        s = F.grid_sample(
+            xt, grid, mode="bilinear", padding_mode="zeros",
+            align_corners=False,
+        )  # (B, Cin, H, W)
+        s = s.numpy().transpose(0, 2, 3, 1) * mask[..., k : k + 1]
+        want += s @ w[k]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_gather_path_matches_torch(monkeypatch):
+    """Same oracle, forced through the large-grid gather path."""
+    from graph_detr4d_tpu.ops import deform_conv as dc
+
+    monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 0)
+    test_deform_conv_matches_torch_grid_sample()

@@ -15,6 +15,7 @@ that lands on the MXU. The shifted copy is built once per conv and shared
 by all K taps.
 """
 
+import jax
 import jax.numpy as jnp
 
 # below this padded-grid pixel count, taps are sampled by a weighted
@@ -104,9 +105,12 @@ def deform_conv2d(
     base_x = xs[None, :]  # (1, Wo)
 
     if (H + 2) * (W + 2) <= ONEHOT_MAX_PIXELS:
-        patches = _sample_taps_onehot(
-            x, offsets, base_y, base_x, kernel_size, dtype
-        )
+        # rematerialize: the (B, S, P) one-hot matrices are cheap to
+        # recompute but ~GBs if saved for backward across all taps and
+        # DCN blocks (12-cam training OOMs the chip otherwise)
+        patches = jax.checkpoint(
+            _sample_taps_onehot, static_argnums=(4, 5)
+        )(x, offsets, base_y, base_x, kernel_size, dtype)
         patches = patches * mask[..., None].astype(dtype)
         out = jnp.einsum(
             "bhwkc,kco->bhwo",

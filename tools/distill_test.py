@@ -30,6 +30,10 @@ def main():
     args = parse_args()
     import jax
 
+    # GRD4D_PLATFORM=cpu overrides the axon-forced TPU platform
+    if os.environ.get("GRD4D_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
+
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),

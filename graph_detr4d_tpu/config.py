@@ -7,7 +7,7 @@ constructors. Field defaults reproduce that config's values.
 """
 
 from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 
 NUSCENES_CLASSES = (
@@ -140,6 +140,11 @@ class TrainConfig:
     photometric: bool = True
     ida_aug: bool = True  # ResizeCropFlipImage
     rot_aug: bool = True  # GlobalRotScaleTransImage
+    # multi-scale training (RandomResizeImageMultiViewImage +
+    # ScaleAnnotations3D, detr4d_res50_deform_ms.py:132-134): per sample,
+    # a random (y, x) target from this list drives the depth-scaled
+    # resize before ida brings the image to the static network size
+    resize_scales: Optional[Tuple[Tuple[int, int], ...]] = None
 
 
 @dataclass(frozen=True)

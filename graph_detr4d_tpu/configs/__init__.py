@@ -174,9 +174,25 @@ def detr4d_res50_deform():
 
 @register("detr4d_res50_deform_ms")
 def detr4d_res50_deform_ms():
-    """Multi-scale sampling over all 4 FPN levels (the default here;
-    configs/detr4d/detr4d_res50_deform_ms.py)."""
-    return _detr4d(with_pe=False)
+    """Multi-scale training: random depth-scaled resizes
+    (RandomResizeImageMultiViewImage + ScaleAnnotations3D,
+    configs/detr4d/detr4d_res50_deform_ms.py:132-134)."""
+    cfg = _detr4d(with_pe=False)
+    return dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train,
+            resize_scales=(
+                (400, 9999),
+                (784, 9999),
+                (848, 9999),
+                (912, 9999),
+                (976, 9999),
+                (1040, 9999),
+                (1104, 9999),
+            ),
+        ),
+    )
 
 
 @register("detr4d_res50_mp")
@@ -188,14 +204,15 @@ def detr4d_res50_mp():
 
 @register("detr4d_res50_deform_aug_2subset_12e")
 def detr4d_deform_aug():
-    """photometric + ida crop/flip, no BEV rot
-    (detr4d_res50_deform_aug_2subset_12e.py pipeline)."""
-    return _with_augs(_detr4d(with_pe=False), rot=False)
+    """photometric + ida crop/flip + BEV rot — the reference 'aug'
+    pipeline has ALL THREE active
+    (detr4d_res50_deform_aug_2subset_12e.py:142-153)."""
+    return _with_augs(_detr4d(with_pe=False))
 
 
 @register("detr4d_res50_deform_pe_aug_2subset_12e")
 def detr4d_pe_aug():
-    return _with_augs(_detr4d(), rot=False)
+    return _with_augs(_detr4d())
 
 
 @register("detr4d_res50_deform_pe_rotaug_2subset_12e")

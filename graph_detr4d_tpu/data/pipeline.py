@@ -391,12 +391,29 @@ def build_batch(
 
         use_native = available()
     for s in samples:
+        bboxes = s["gt_bboxes"]
+        # multi-scale training: pick the per-sample random resize target
+        # up front so the ida crop statistics see the true source size
+        ms_target = None
+        eff_src = src_hw
+        if (
+            training
+            and aug is not None
+            and getattr(aug, "resize_scales", None)
+        ):
+            ms_target = aug.resize_scales[
+                rng.randint(len(aug.resize_scales))
+            ]
+            r = min(ms_target[1] / src_hw[1], ms_target[0] / src_hw[0])
+            eff_src = (
+                int(np.around(src_hw[0] * r)),
+                int(np.around(src_hw[1] * r)),
+            )
         # ida_aug off -> deterministic eval-style resize (no random
         # crop/flip) even in training
         p = sample_ida_params(
-            rng, src_hw, final_hw, training=training and use_ida
+            rng, eff_src, final_hw, training=training and use_ida
         )
-        bboxes = s["gt_bboxes"]
         if use_native and not training:
             from ..native import load_images
 
@@ -417,9 +434,17 @@ def build_batch(
                 for l2i in s["lidar2img"]
             ]
         else:
+            # multi-scale: one random depth-scaled resize per sample
+            # (RandomResizeImageMultiViewImage + ScaleAnnotations3D);
+            # ida then brings every view to the static network size
             cams, mats = [], []
-            for path, l2i in zip(s["image_paths"], s["lidar2img"]):
-                img = load_image(path)
+            imgs_raw = [load_image(path) for path in s["image_paths"]]
+            l2is_raw = list(s["lidar2img"])
+            if ms_target is not None:
+                imgs_raw, l2is_raw, bboxes, _ = random_resize_depth_scaled(
+                    imgs_raw, np.asarray(l2is_raw), bboxes, ms_target
+                )
+            for img, l2i in zip(imgs_raw, l2is_raw):
                 if use_photo:
                     img = photometric_distortion(img, rng)
                 img, m = apply_ida(img, l2i, p)

@@ -75,7 +75,6 @@ class GraphDETR4D(nn.Module):
             self.head = PETRHeadSeg(
                 cfg=self.cfg.head,
                 img_shape=self.cfg.img_size,
-                num_lane=self.cfg.head.num_lane,
                 dtype=dtype,
             )
         elif self.cfg.head_type == "detr4d_pe":

@@ -105,7 +105,9 @@ class PETRHeadSeg(nn.Module):
 
     cfg: HeadConfig
     img_shape: Tuple[int, int]
-    num_lane: int = 100
+    # None -> cfg.num_lane (single source of truth; the module field only
+    # exists for direct-construction tests)
+    num_lane: Optional[int] = None
     lane_out: int = 768  # 3 channels x 16 x 16 patch
     position_range: Tuple[float, ...] = (-65.0, -65.0, -8.0, 65.0, 65.0, 8.0)
     with_time: bool = False
@@ -120,6 +122,9 @@ class PETRHeadSeg(nn.Module):
         mean_time_stamp: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
+        num_lane = (
+            self.num_lane if self.num_lane is not None else cfg.num_lane
+        )
         C = cfg.embed_dims
         feat = mlvl_feats[0]
         B, N, H, W, _ = feat.shape
@@ -183,14 +188,14 @@ class PETRHeadSeg(nn.Module):
         query = jnp.zeros((B, cfg.num_query, C), self.dtype)
 
         # ---- lane queries on the BEV grid (:365-369, 540)
-        lane_ref = jnp.asarray(lane_grid(self.num_lane))
+        lane_ref = jnp.asarray(lane_grid(num_lane))
         lane_pos = TwoLayerMLP(
             C, C, dtype=self.dtype, name="query_embedding_lane"
         )(
             pos2posemb2d(lane_ref, cfg.pe_num_feats).astype(self.dtype)
         )
-        lane_pos = jnp.broadcast_to(lane_pos[None], (B, self.num_lane, C))
-        lane_query = jnp.zeros((B, self.num_lane, C), self.dtype)
+        lane_pos = jnp.broadcast_to(lane_pos[None], (B, num_lane, C))
+        lane_query = jnp.zeros((B, num_lane, C), self.dtype)
 
         cls_branch = ClsBranch(
             C, cfg.num_classes, cfg.num_reg_fcs, dtype=self.dtype,

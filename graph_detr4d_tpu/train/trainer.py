@@ -116,6 +116,8 @@ class Trainer:
         # benchmark.py wall-clock; SURVEY §5 asks for a proper trace hook)
         self.profile_steps = profile_steps
         self._profiling = False
+        self._steps_seen = 0
+        self._profile_start = 0
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.state = replicate(
@@ -138,6 +140,14 @@ class Trainer:
             work_dir, use_tensorboard=self.is_main
         )
 
+    def _stop_profile(self, metrics):
+        # force completion through a host value fetch — block_until_ready
+        # returns early on the axon runtime (CLAUDE.md timing note)
+        float(metrics["loss"])
+        jax.profiler.stop_trace()
+        self._profiling = False
+        self.profile_steps = 0
+
     def resume(self):
         restored = self.ckpt.restore(jax.tree.map(np.asarray, self.state))
         if restored is not None:
@@ -151,20 +161,26 @@ class Trainer:
             step = int(self.state.step)
             if step >= total_steps:
                 break
-            if self.profile_steps > 0 and step == 1 and not self._profiling:
-                jax.profiler.start_trace(
-                    os.path.join(self.work_dir, "profile")
-                )
-                self._profiling = True
+            if self.profile_steps > 0 and not self._profiling:
+                # start after the first (compile) step of THIS run —
+                # works on resumed runs too
+                if self._steps_seen >= 1:
+                    jax.profiler.start_trace(
+                        os.path.join(self.work_dir, "profile")
+                    )
+                    self._profiling = True
+                    self._profile_start = self._steps_seen
             batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(
                 self.state, batch, self.rng
             )
-            if self._profiling and step + 1 >= 1 + self.profile_steps:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
-                self._profiling = False
-                self.profile_steps = 0
+            self._steps_seen += 1
+            if (
+                self._profiling
+                and self._steps_seen
+                >= self._profile_start + self.profile_steps
+            ):
+                self._stop_profile(metrics)
             window.append(metrics)
             if (step + 1) % self.log_interval == 0:
                 avg = {
@@ -185,6 +201,9 @@ class Trainer:
                     results = self.eval_fn(self.state)
                     if self.is_main:
                         self.logger.log(step + 1, results)
+        if self._profiling:
+            # loop ended before profile_steps elapsed — still flush
+            self._stop_profile(metrics)
         self.ckpt.save(
             int(self.state.step), jax.tree.map(np.asarray, self.state)
         )

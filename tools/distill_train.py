@@ -39,9 +39,9 @@ def main():
     args = parse_args()
     import jax
 
-    # GRD4D_PLATFORM=cpu overrides the axon-forced TPU platform
-    if os.environ.get("GRD4D_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
+    from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
 
     jax.config.update(
         "jax_compilation_cache_dir",

@@ -40,10 +40,9 @@ def main():
 
     import jax
 
-    # must happen before distributed init (the axon sitecustomize forces
-    # the TPU platform; GRD4D_PLATFORM=cpu enables local multi-process)
-    if os.environ.get("GRD4D_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
+    from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
 
     if args.coordinator:
         jax.distributed.initialize(

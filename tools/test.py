@@ -58,9 +58,9 @@ def main():
     args = parse_args()
     import jax
 
-    # GRD4D_PLATFORM=cpu overrides the axon-forced TPU platform
-    if os.environ.get("GRD4D_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
+    from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
@@ -189,6 +189,16 @@ def main():
         # multi-host eval: stride the dataset by process, like the
         # reference's multi_gpu_test per-rank sharding (tools/test.py:223)
         rank, world = jax.process_index(), jax.process_count()
+        if world > 1:
+            # drop any stale partial from a previous run in this work_dir
+            # BEFORE computing — jax.distributed.initialize has already
+            # synchronized startup, so every rank clears its own file
+            # long before rank 0 starts polling
+            stale = os.path.join(
+                args.work_dir, f"results_rank{rank}.json"
+            )
+            if os.path.exists(stale):
+                os.remove(stale)
         for i in range(rank, n, world):
             if args.no_temporal and args.dataset == "nuscenes":
                 s = ds.sample(i, temporal=False)

@@ -74,10 +74,9 @@ def main():
     args = parse_args()
     import jax
 
-    # the axon sitecustomize forces jax_platforms to the TPU plugin;
-    # GRD4D_PLATFORM=cpu overrides it for debugging without the tunnel
-    if os.environ.get("GRD4D_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
+    from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
@@ -116,7 +115,13 @@ def main():
     # batch (DistributedSampler parity); parallel/mesh.shard_batch
     # assembles the global array across hosts
     rank, world = jax.process_index(), jax.process_count()
-    local_bs = max(1, batch_size // world)
+    if batch_size % world:
+        # round the global batch up so every rank gets an equal non-empty
+        # shard (the sharded global array requires it anyway)
+        batch_size = ((batch_size + world - 1) // world) * world
+        if rank == 0:
+            print(f"global batch rounded up to {batch_size} ({world} hosts)")
+    local_bs = batch_size // world
 
     if args.synthetic or args.ann_file is None:
         def batches():

@@ -98,6 +98,13 @@ class HeadConfig:
     # config family)
     with_pe: bool = True
     cam_aware: bool = False  # DepthNet feature modulation (PECAM head)
+    # Deform3DCrossAttn option knobs (deform3d_cross_attn.py:64-65):
+    # fix_offset freezes the sampling-offset linear (requires_grad=False
+    # parity: zero param grads, input grads still flow); depth_encode
+    # appends rho = sqrt(x^2+y^2) of the normalized reference point to
+    # the positional-MLP input (:331-334, Linear(4) at :105)
+    fix_offset: bool = False
+    depth_encode: bool = False
 
 
 @dataclass(frozen=True)

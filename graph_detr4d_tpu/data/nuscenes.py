@@ -94,17 +94,37 @@ class NuScenesSweepDataset:
         return paths, np.asarray(mats, np.float32)
 
     def choose_sweep(self, info) -> Optional[int]:
+        idxs = self.choose_sweeps(info)
+        return None if idxs is None else idxs[0]
+
+    def choose_sweeps(self, info) -> Optional[list]:
+        """Sweep-frame index choice list (loading.py:106-123): train draws
+        `sweeps_num` distinct indices from sweep_range, test uses the fixed
+        mid-range index. Static-shape deviation: the reference emits
+        however many frames the choice list yields (fewer when sweeps are
+        scarce, one at test time regardless of sweeps_num); here the list
+        is always padded to exactly `sweeps_num` entries by repeating the
+        last choice, so the camera axis keeps its jit-static size."""
         sweeps = info.get("sweeps", [])
         if not sweeps:
             return None
         lo, hi = self.sweep_range
-        if len(sweeps) <= self.sweeps_num:
-            return 0
-        if self.test_mode:
-            return min(int((lo + hi) / 2) - 1, len(sweeps) - 1)
-        if lo < len(sweeps):
-            return int(self.rng.randint(lo, min(hi, len(sweeps))))
-        return min(int((lo + hi) / 2) - 1, len(sweeps) - 1)
+        n = self.sweeps_num
+        if len(sweeps) <= n:
+            choices = list(range(len(sweeps)))  # loading.py:109-110
+        elif self.test_mode:
+            choices = [min(int((lo + hi) / 2) - 1, len(sweeps) - 1)]
+        elif lo < len(sweeps):
+            pool = list(range(lo, min(hi, len(sweeps))))
+            take = min(n, len(pool))
+            choices = [
+                int(i) for i in self.rng.choice(pool, take, replace=False)
+            ]
+        else:
+            choices = [min(int((lo + hi) / 2) - 1, len(sweeps) - 1)]
+        while len(choices) < n:  # static-shape pad
+            choices.append(choices[-1])
+        return choices
 
     def sweep_frame_calib(self, info, sweep_idx: int):
         """Paths + aligned lidar2img for one previous frame; falls back to
@@ -158,7 +178,11 @@ class NuScenesSweepDataset:
             [n in NUSCENES_NAME_TO_LABEL for n in names], bool
         )
         keep = keep & known
+        attrs = np.asarray(
+            info.get("gt_attrs", [""] * len(boxes)), object
+        ).reshape(-1)
         boxes, names, vel = boxes[keep], names[keep], vel[keep]
+        attrs = attrs[keep[: len(attrs)]]
         labels = np.array(
             [NUSCENES_NAME_TO_LABEL[n] for n in names], np.int32
         )
@@ -170,20 +194,26 @@ class NuScenesSweepDataset:
         gt_bboxes = np.zeros((G, 9), np.float32)
         gt_labels = np.zeros((G,), np.int32)
         gt_valid = np.zeros((G,), bool)
+        gt_attrs = np.asarray([""] * G, object)
         gt_bboxes[:n] = full[:n]
         gt_labels[:n] = labels[:n]
         gt_valid[:n] = True
-        return gt_bboxes, gt_labels, gt_valid
+        gt_attrs[:n] = attrs[:n]
+        return gt_bboxes, gt_labels, gt_valid, gt_attrs
 
     def sample(self, idx: int, temporal: bool = True) -> dict:
         info = self.infos[idx]
         paths, l2i = self.current_frame_calib(info)
         if temporal:
-            sweep_idx = self.choose_sweep(info)
-            spaths, sl2i = self.sweep_frame_calib(info, sweep_idx)
-            paths = paths + spaths
-            l2i = np.concatenate([l2i, sl2i], axis=0)
-        gt_bboxes, gt_labels, gt_valid = self.padded_gt(info)
+            sweep_idxs = self.choose_sweeps(info)
+            for k in range(self.sweeps_num):
+                sweep_idx = (
+                    None if sweep_idxs is None else sweep_idxs[k]
+                )
+                spaths, sl2i = self.sweep_frame_calib(info, sweep_idx)
+                paths = paths + spaths
+                l2i = np.concatenate([l2i, sl2i], axis=0)
+        gt_bboxes, gt_labels, gt_valid, gt_attrs = self.padded_gt(info)
         out = {
             "token": info["token"],
             "image_paths": paths,
@@ -191,6 +221,9 @@ class NuScenesSweepDataset:
             "gt_bboxes": gt_bboxes,
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,
+            # attribute-name strings for AAE (host-side eval only; never
+            # fed to jit)
+            "gt_attrs": gt_attrs,
             "timestamp": info["timestamp"],
         }
         # segmentation variant: BEV map mask path rides along

@@ -37,10 +37,12 @@ def _resize_img(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     except ImportError:  # pragma: no cover
         from PIL import Image
 
+        # PIL fallback only handles uint8; clip so out-of-range floats
+        # (photometric output is unclipped, like the reference) don't wrap
         return np.asarray(
-            Image.fromarray(img.astype(np.uint8)).resize(
-                (out_hw[1], out_hw[0]), Image.BILINEAR
-            )
+            Image.fromarray(
+                np.clip(img, 0, 255).astype(np.uint8)
+            ).resize((out_hw[1], out_hw[0]), Image.BILINEAR)
         ).astype(img.dtype)
 
 
@@ -211,23 +213,71 @@ def global_rot_scale_trans(
     return l2i, out
 
 
+def _rgb_to_hsv(img: np.ndarray) -> np.ndarray:
+    """Float HSV, OpenCV convention (mmcv.bgr2hsv on float32): H in
+    degrees [0, 360), S in [0, 1], V in the input scale."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    v = img.max(-1)
+    mn = img.min(-1)
+    c = v - mn
+    safe_c = np.where(c == 0, 1.0, c)
+    h = np.where(
+        v == r,
+        (g - b) / safe_c,
+        np.where(v == g, 2.0 + (b - r) / safe_c, 4.0 + (r - g) / safe_c),
+    )
+    h = (h * 60.0) % 360.0
+    h = np.where(c == 0, 0.0, h)
+    safe_v = np.where(v == 0, 1.0, v)
+    s = np.where(v == 0, 0.0, c / safe_v)
+    return np.stack([h, s, v], -1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h = (h % 360.0) / 60.0
+    i = np.floor(h)
+    f = h - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], -1)
+
+
 def photometric_distortion(
     img: np.ndarray, rng: np.random.RandomState
 ) -> np.ndarray:
-    """Brightness/contrast/saturation jitter (transform_3d.py:687-784,
-    simplified: hue rotation approximated in RGB)."""
+    """Brightness/contrast/saturation/hue jitter + random channel swap
+    (PhotoMetricDistortionMultiViewImage, transform_3d.py:687-784): each
+    step fires with prob 0.5; contrast runs second (mode 0) or second to
+    last (mode 1); saturation/hue operate in true float HSV (mmcv
+    bgr2hsv/hsv2bgr :746-760 — hue rotation in degrees with 360 wrap);
+    the last step permutes the color channels (:770-772). Like the
+    reference, the output is NOT clipped to [0, 255] — normalization
+    consumes it as float."""
     img = img.astype(np.float32)
     if rng.randint(2):
         img = img + rng.uniform(-32, 32)
     mode = rng.randint(2)
     if mode == 1 and rng.randint(2):
         img = img * rng.uniform(0.5, 1.5)
-    if rng.randint(2):  # saturation via luma mix
-        luma = img.mean(-1, keepdims=True)
-        img = luma + (img - luma) * rng.uniform(0.5, 1.5)
+    hsv = _rgb_to_hsv(img)
+    if rng.randint(2):  # saturation scale on the S channel
+        hsv[..., 1] *= rng.uniform(0.5, 1.5)
+    if rng.randint(2):  # hue rotation in degrees
+        hsv[..., 0] += rng.uniform(-18, 18)
+        hsv[..., 0][hsv[..., 0] > 360] -= 360
+        hsv[..., 0][hsv[..., 0] < 0] += 360
+    img = _hsv_to_rgb(hsv)
     if mode == 0 and rng.randint(2):
         img = img * rng.uniform(0.5, 1.5)
-    return np.clip(img, 0, 255)
+    if rng.randint(2):
+        img = img[..., rng.permutation(3)]
+    return img
 
 
 class AlbuMultiview3D:

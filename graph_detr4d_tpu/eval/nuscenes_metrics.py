@@ -15,10 +15,15 @@ detection protocol from scratch (pure numpy, host-side):
 
 Matching uses center distance, which is invariant to rigid transforms, so
 boxes may be supplied in any consistent per-sample frame (lidar or global).
-Attribute error (AAE) is not computed (no attribute head in the detector);
-NDS here normalizes over the 4 computed TP metrics plus mAP accordingly
-unless `include_attr_slot=True`, which reserves the devkit's AAE slot as
-a constant 1.0 penalty-free term for exact-formula comparability.
+
+Attribute error (AAE): computed when GT attribute names are supplied to
+`add_sample` (tools/create_data.py stores them as infos['gt_attrs'] from
+the raw sample_annotation/attribute tables). Predicted attributes use the
+reference formatter's speed rule (multi_nuscenes_dataset.py:149-170 via
+eval/submission.select_attribute) — exactly what the devkit receives in
+results_nusc.json. Devkit per-class skips apply: traffic_cone has no
+attr/vel/orient metrics, barrier no attr/vel. Without GT attributes the
+AAE slot contributes its best-case 1.0 term to NDS (documented fallback).
 """
 
 from dataclasses import dataclass, field
@@ -67,9 +72,9 @@ def _aligned_iou(size_a, size_b):
 
 class _Boxes:
     """Per-sample arrays: xyz (n,3), size (n,3) wlh, yaw (n,), vel (n,2),
-    label (n,), score (n,)."""
+    label (n,), score (n,), attr (n,) attribute-name strings ('' = none)."""
 
-    def __init__(self, xyz, size, yaw, vel, label, score=None):
+    def __init__(self, xyz, size, yaw, vel, label, score=None, attr=None):
         self.xyz = np.asarray(xyz, np.float64).reshape(-1, 3)
         self.size = np.asarray(size, np.float64).reshape(-1, 3)
         self.yaw = np.asarray(yaw, np.float64).reshape(-1)
@@ -79,6 +84,11 @@ class _Boxes:
             np.asarray(score, np.float64).reshape(-1)
             if score is not None
             else np.zeros(len(self.yaw))
+        )
+        self.attr = (
+            np.asarray(attr, object).reshape(-1)
+            if attr is not None
+            else np.asarray([""] * len(self.yaw), object)
         )
 
     def __len__(self):
@@ -96,6 +106,7 @@ class DetectionEvaluator:
         self.cfg = cfg or DetectionConfig()
         self.preds: List[_Boxes] = []
         self.gts: List[_Boxes] = []
+        self._have_attrs = False
 
     def add_sample(
         self,
@@ -104,21 +115,41 @@ class DetectionEvaluator:
         pred_scores: np.ndarray,
         gt_boxes: np.ndarray,
         gt_labels: np.ndarray,
+        gt_attrs=None,  # (n,) attribute-name strings; enables AAE
     ):
         pred_boxes = np.asarray(pred_boxes, np.float64).reshape(-1, 9)
         gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 9)
         k = min(len(pred_boxes), self.cfg.max_boxes_per_sample)
         order = np.argsort(-np.asarray(pred_scores))[:k]
+        # predicted attribute = the formatter's speed rule applied at
+        # submission time (multi_nuscenes_dataset.py:149-170)
+        from .submission import select_attribute
+
+        names = list(self.cfg.class_names)
+        plabels = np.asarray(pred_labels)[order]
+        pvel = pred_boxes[order, 7:9]
+        pattrs = np.asarray(
+            [
+                select_attribute(names[int(l)], v)
+                if 0 <= int(l) < len(names)
+                else ""
+                for l, v in zip(plabels, pvel)
+            ],
+            object,
+        )
         self.preds.append(
             _Boxes(
                 pred_boxes[order, :3],
                 pred_boxes[order, 3:6],
                 pred_boxes[order, 6],
                 pred_boxes[order, 7:9],
-                np.asarray(pred_labels)[order],
+                plabels,
                 np.asarray(pred_scores)[order],
+                pattrs,
             )
         )
+        if gt_attrs is not None:
+            self._have_attrs = True
         self.gts.append(
             _Boxes(
                 gt_boxes[:, :3],
@@ -126,6 +157,7 @@ class DetectionEvaluator:
                 gt_boxes[:, 6],
                 gt_boxes[:, 7:9],
                 gt_labels,
+                attr=gt_attrs,
             )
         )
 
@@ -154,6 +186,7 @@ class DetectionEvaluator:
             "scale_err": np.ones(n_interp),
             "orient_err": np.ones(n_interp),
             "vel_err": np.ones(n_interp),
+            "attr_err": np.ones(n_interp),
             "max_recall_ind": -1,
             "npos": npos,
         }
@@ -164,6 +197,7 @@ class DetectionEvaluator:
         taken = set()
         tp, fp, conf = [], [], []
         m_trans, m_scale, m_orient, m_vel, m_conf = [], [], [], [], []
+        m_attr = []
         period = np.pi if cls_name == "barrier" else 2 * np.pi
         for score, si, pi in entries:
             p, g = self.preds[si], self.gts[si]
@@ -192,6 +226,14 @@ class DetectionEvaluator:
                     )
                 else:
                     m_vel.append(np.nan)
+                # devkit attr_acc: NaN when GT has no attribute, else
+                # exact-match indicator
+                gattr = str(g.attr[best])
+                m_attr.append(
+                    np.nan
+                    if gattr == ""
+                    else 1.0 - float(str(p.attr[pi]) == gattr)
+                )
                 m_conf.append(score)
             else:
                 tp.append(0)
@@ -227,6 +269,7 @@ class DetectionEvaluator:
             out["scale_err"] = cm(m_scale)
             out["orient_err"] = cm(m_orient)
             out["vel_err"] = cm(m_vel)
+            out["attr_err"] = cm(m_attr)
         return out
 
     def _calc_ap(self, md) -> float:
@@ -246,7 +289,9 @@ class DetectionEvaluator:
         cfg = self.cfg
         all_names = list(DEFAULT_CLASS_RANGE)
         aps = {}
-        tp_errs = {k: {} for k in ("trans", "scale", "orient", "vel")}
+        tp_errs = {
+            k: {} for k in ("trans", "scale", "orient", "vel", "attr")
+        }
         for cname in cfg.class_names:
             # labels always use the canonical 10-class nuScenes ids
             ci = all_names.index(cname) if cname in all_names else list(
@@ -257,11 +302,21 @@ class DetectionEvaluator:
                 md = self._accumulate(ci, cname, th)
                 cls_aps.append(self._calc_ap(md))
                 if th == cfg.dist_th_tp:
+                    # devkit per-class TP-metric skips (evaluate.py /
+                    # detection config): traffic_cone has no
+                    # attr/vel/orient, barrier no attr/vel
                     tp_errs["trans"][cname] = self._calc_tp(md, "trans_err")
                     tp_errs["scale"][cname] = self._calc_tp(md, "scale_err")
-                    tp_errs["orient"][cname] = self._calc_tp(md, "orient_err")
+                    if cname != "traffic_cone":
+                        tp_errs["orient"][cname] = self._calc_tp(
+                            md, "orient_err"
+                        )
                     if cname not in ("barrier", "traffic_cone"):
                         tp_errs["vel"][cname] = self._calc_tp(md, "vel_err")
+                        if self._have_attrs:
+                            tp_errs["attr"][cname] = self._calc_tp(
+                                md, "attr_err"
+                            )
             aps[cname] = float(np.mean(cls_aps))
 
         mean_ap = float(np.mean(list(aps.values())))
@@ -269,14 +324,19 @@ class DetectionEvaluator:
             f"m{k}e": float(np.mean(list(v.values()))) if v else 1.0
             for k, v in tp_errs.items()
         }
-        # NDS over mAP + 4 computed TP metrics (+AAE slot fixed at devkit
-        # formula weight): (5*mAP + sum(1 - min(1, tp))) / 10; the absent
-        # attribute metric contributes its best-case term so numbers remain
-        # comparable with published NDS (which includes AAE).
+        # NDS = (5*mAP + sum over 5 TP metrics of (1 - min(1, tp))) / 10.
+        # Without GT attributes the AAE slot contributes its best-case
+        # term (documented fallback for reference-format pkls that lack
+        # attribute names); with them it is the devkit's real mAAE.
+        attr_term = (
+            max(1.0 - min(1.0, m["mattre"]), 0.0)
+            if self._have_attrs
+            else 1.0
+        )
         tp_scores = [max(1.0 - min(1.0, m[f"m{k}e"]), 0.0) for k in
                      ("trans", "scale", "orient", "vel")]
-        nds = (5.0 * mean_ap + sum(tp_scores) + 1.0) / 10.0
-        return {
+        nds = (5.0 * mean_ap + sum(tp_scores) + attr_term) / 10.0
+        out = {
             "mAP": mean_ap,
             "NDS": nds,
             "per_class_ap": aps,
@@ -285,3 +345,6 @@ class DetectionEvaluator:
             "mAOE": m["moriente"],
             "mAVE": m["mvele"],
         }
+        if self._have_attrs:
+            out["mAAE"] = m["mattre"]
+        return out

@@ -14,8 +14,10 @@ Behavioral parity with Deform3DCrossAttn
      inverse-sigmoid reference point (:326-338).
 
 TPU-native: cameras fold into the batch axis of one MSDA call; everything
-is static-shape einsum/gather that XLA fuses. The MSDA inner loop can be
-swapped for the fused Pallas kernel (ops/msda_pallas.py).
+is static-shape einsum/gather that XLA fuses. The MSDA inner loop uses the
+layout-tuned XLA gather/one-hot paths in ops/msda.py (a Pallas kernel was
+rejected by measurement: Mosaic cannot lower the vector gathers MSDA
+needs — see ops/msda.py docstring).
 """
 
 import math
@@ -62,6 +64,19 @@ class Deform3DCrossAttn(nn.Module):
     # can verify 0. 1.0 disables compaction. Typical surround rigs see
     # ~Q/3 valid queries per camera.
     cam_capacity: float = 1.0
+    # freeze the sampling-offset linear (deform3d_cross_attn.py:64,
+    # :125-127 requires_grad=False): zero param grads — so the frozen
+    # params contribute nothing to the global grad-clip norm, matching
+    # the reference's clip over requires_grad params only — while input
+    # grads still flow through the layer
+    fix_offset: bool = False
+    # append rho = sqrt(x^2+y^2) of the sigmoid-space reference point as a
+    # 4th positional-MLP input channel, concatenated BEFORE inverse_sigmoid
+    # (deform3d_cross_attn.py:331-334; Linear(4 if depth_encode else 3)
+    # at :105). NOTE: in the reference's MP variant the option is dead code
+    # (it computes the concat at multi_point.py:444-446 but then feeds the
+    # plain 3-d center points to the encoder), so it exists only here.
+    depth_encode: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,7 +109,17 @@ class Deform3DCrossAttn(nn.Module):
             name="cam_attention_weights",
         )(q)  # (B, Q, N)
 
-        offsets = nn.Dense(
+        offs_cls = (
+            nn.map_variables(
+                nn.Dense,
+                "params",
+                trans_in_fn=jax.lax.stop_gradient,
+                init=True,
+            )
+            if self.fix_offset
+            else nn.Dense
+        )
+        offsets = offs_cls(
             H_heads * P * 3,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
@@ -220,7 +245,13 @@ class Deform3DCrossAttn(nn.Module):
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
         # positional MLP over inverse-sigmoid normalized ref points (:334)
-        pe = inverse_sigmoid(reference_points.astype(jnp.float32))
+        ref_n = reference_points.astype(jnp.float32)
+        if self.depth_encode:
+            rho = jnp.sqrt(
+                ref_n[..., 0:1] ** 2 + ref_n[..., 1:2] ** 2
+            )
+            ref_n = jnp.concatenate([ref_n, rho], axis=-1)
+        pe = inverse_sigmoid(ref_n)
         pos_feat = LNMLP(C, dtype=self.dtype, name="position_encoder")(
             pe.astype(self.dtype)
         )

@@ -231,6 +231,8 @@ class Detr3DHeadPE(nn.Module):
                 attn_type=cfg.attn_type,
                 num_neighbors=cfg.num_neighbors,
                 cam_capacity=cfg.cam_capacity,
+                fix_offset=cfg.fix_offset,
+                depth_encode=cfg.depth_encode,
                 dtype=self.dtype,
                 name=f"decoder_layer{lid}",
             )

@@ -53,6 +53,8 @@ class DecoderLayer(nn.Module):
     attn_type: str = "deform3d"
     num_neighbors: int = 8
     cam_capacity: float = 1.0
+    fix_offset: bool = False  # deform3d_cross_attn.py:64 (freeze offsets)
+    depth_encode: bool = False  # deform3d_cross_attn.py:65 (rho PE input)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,6 +93,8 @@ class DecoderLayer(nn.Module):
                 pc_range=self.pc_range,
                 dropout=self.dropout,
                 cam_capacity=self.cam_capacity,
+                fix_offset=self.fix_offset,
+                depth_encode=self.depth_encode,
                 dtype=self.dtype,
                 name="cross_attn",
             )(

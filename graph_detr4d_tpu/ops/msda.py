@@ -12,8 +12,16 @@ kernel (invoked at deform3d_cross_attn.py:301-309). Semantics:
 The formulation is four corner gathers per level (take_along_axis over the
 flattened H*W axis) with corner weights folded into the attention weights,
 which XLA fuses into a single gather+FMA chain. Differentiable for free
-(gather has a scatter-add transpose). A fused Pallas kernel lives in
-`msda_pallas.py`; this is the reference implementation it is tested against.
+(gather has a scatter-add transpose).
+
+Why XLA and not Pallas: Mosaic cannot lower vector gathers (dynamic
+per-lane indices), so a Pallas MSDA kernel would have to serialize the
+gather — measured slower than this layout-tuned XLA path. The kernel
+engineering lives in the gather LAYOUT instead: TPU gathers are
+row-count-bound (~7-8 ns/row up to 256 B rows), so the shift4/pair
+formulations below fold bilinear corners into fewer, wider rows, and the
+one-hot MXU matmul path replaces gathers entirely for small pixel tables
+(<= ONEHOT_MAX_PIXELS).
 """
 
 from typing import Sequence

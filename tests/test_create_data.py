@@ -99,6 +99,7 @@ def make_raw_db(tmp_path, ego_yaw=0.5, ego_t=(10.0, 5.0, 0.0)):
         "rotation": q_from_yaw(ego_yaw + 0.3),  # yaw 0.3 in lidar frame
         "num_lidar_pts": 10,
         "num_radar_pts": 2,
+        "attribute_tokens": ["at0"],
         "prev": "",
         "next": "",
     }
@@ -121,6 +122,7 @@ def make_raw_db(tmp_path, ego_yaw=0.5, ego_t=(10.0, 5.0, 0.0)):
         "instance": [{"token": "i0", "category_token": "c0"}],
         "category": [{"token": "c0", "name": "vehicle.car"}],
         "scene": [{"token": "sc0", "name": "scene-0001"}],
+        "attribute": [{"token": "at0", "name": "vehicle.moving"}],
     }
     for name, rows in tables.items():
         with open(os.path.join(root, version, f"{name}.json"), "w") as f:
@@ -142,6 +144,7 @@ def test_build_info_geometry(tmp_path):
             "instance",
             "category",
             "scene",
+            "attribute",
         ),
     )
     sample = list(tables["sample"].values())[0]
@@ -156,6 +159,7 @@ def test_build_info_geometry(tmp_path):
         info["gt_boxes"][0, 6], -0.3 - np.pi / 2, atol=1e-9
     )
     assert info["gt_names"][0] == "car"
+    assert info["gt_attrs"][0] == "vehicle.moving"
     assert bool(info["valid_flag"][0])
     # no prev/next annotation -> nan velocity zeroed
     np.testing.assert_allclose(info["gt_velocity"][0], [0.0, 0.0])

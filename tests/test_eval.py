@@ -157,3 +157,91 @@ def test_submission_formatting():
             data = json.load(f)
         assert data["meta"]["use_camera"]
         assert len(data["results"]["tok0"]) == 1
+
+
+def test_attribute_error_aae():
+    """AAE (devkit attr_err): 1 - attribute accuracy among TPs; predicted
+    attributes follow the formatter speed rule
+    (multi_nuscenes_dataset.py:149-170); GT attrs enable the metric and
+    its NDS slot."""
+    from graph_detr4d_tpu.eval.nuscenes_metrics import DetectionEvaluator
+
+    from graph_detr4d_tpu.eval.nuscenes_metrics import DetectionConfig
+
+    cfg = DetectionConfig(class_names=("car",))
+    ev = DetectionEvaluator(cfg)
+    # two cars: one moving (speed > 0.2 -> pred attr vehicle.moving),
+    # one parked (pred attr vehicle.parked); GT attrs swapped -> every
+    # attribute prediction wrong -> car attr_err exactly 1
+    boxes = np.array(
+        [
+            [1.0, 0.0, 0.0, 2.0, 4.0, 1.5, 0.0, 5.0, 0.0],
+            [10.0, 0.0, 0.0, 2.0, 4.0, 1.5, 0.0, 0.0, 0.0],
+        ]
+    )
+    labels = np.array([0, 0])
+    scores = np.array([0.9, 0.8])
+    gt_attrs = np.asarray(["vehicle.parked", "vehicle.moving"], object)
+    ev.add_sample(boxes, labels, scores, boxes, labels, gt_attrs=gt_attrs)
+    m = ev.evaluate()
+    assert "mAAE" in m
+    assert abs(m["mAAE"] - 1.0) < 1e-6
+    # perfect matching -> mAP 1 for car
+    assert m["per_class_ap"]["car"] > 0.99
+
+    # without attrs: no mAAE key, NDS uses the best-case slot
+    ev2 = DetectionEvaluator(DetectionConfig(class_names=("car",)))
+    ev2.add_sample(boxes, labels, scores, boxes, labels)
+    m2 = ev2.evaluate()
+    assert "mAAE" not in m2
+
+    # all-correct attributes -> mAAE 0 and NDS above the all-wrong case
+    ev3 = DetectionEvaluator(DetectionConfig(class_names=("car",)))
+    ev3.add_sample(
+        boxes,
+        labels,
+        scores,
+        boxes,
+        labels,
+        gt_attrs=np.asarray(["vehicle.moving", "vehicle.parked"], object),
+    )
+    m3 = ev3.evaluate()
+    assert m3["mAAE"] == 0.0
+    assert m3["NDS"] > m["NDS"]
+    # NDS gap is exactly the AAE slot: (1 - mAAE) / 10
+    assert abs((m3["NDS"] - m["NDS"]) - 0.1) < 1e-6
+
+
+def test_tp_metric_class_skips_match_devkit():
+    """traffic_cone contributes no orient/vel/attr metric, barrier no
+    vel/attr (devkit evaluate.py skip table)."""
+    from graph_detr4d_tpu.eval.nuscenes_metrics import DetectionEvaluator
+
+    from graph_detr4d_tpu.eval.nuscenes_metrics import DetectionConfig
+
+    ev = DetectionEvaluator(
+        DetectionConfig(class_names=("car", "traffic_cone"))
+    )
+    # one cone with a deliberately wrong yaw (would blow up mAOE if
+    # counted) and one car with perfect yaw
+    boxes_gt = np.array(
+        [
+            [1.0, 0.0, 0.0, 0.3, 0.3, 0.7, 0.0, 0.0, 0.0],  # cone
+            [8.0, 0.0, 0.0, 2.0, 4.0, 1.5, 0.5, 1.0, 0.0],  # car
+        ]
+    )
+    preds = boxes_gt.copy()
+    preds[0, 6] = 3.0  # wrong cone yaw
+    labels = np.array([9, 0])  # traffic_cone, car
+    scores = np.array([0.9, 0.9])
+    ev.add_sample(
+        preds,
+        labels,
+        scores,
+        boxes_gt,
+        labels,
+        gt_attrs=np.asarray(["", "vehicle.moving"], object),
+    )
+    m = ev.evaluate()
+    # cone's wrong yaw must not leak into mAOE
+    assert m["mAOE"] < 1e-6

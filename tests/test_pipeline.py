@@ -423,3 +423,130 @@ def test_cbgs_dataset_balances_classes(tmp_path):
     # delegation works
     assert "idx" in ds.sample(0)
     assert len(ds) == len(idx)
+
+
+def test_hsv_conversion_matches_cv2():
+    """The photometric hue/saturation path runs in true float HSV
+    (transform_3d.py:744-760 uses mmcv bgr2hsv/hsv2bgr = cv2 float HSV:
+    H in degrees, S in [0,1], V in input scale)."""
+    import cv2
+    from graph_detr4d_tpu.data.pipeline import _rgb_to_hsv, _hsv_to_rgb
+
+    r = np.random.RandomState(0)
+    img = r.uniform(0, 255, (16, 24, 3)).astype(np.float32)
+    ours = _rgb_to_hsv(img)
+    ref = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+    back = _hsv_to_rgb(ours)
+    np.testing.assert_allclose(back, img, atol=1e-3)
+
+
+def test_photometric_distortion_hue_only_preserves_value():
+    """A pure hue rotation must keep the HSV value channel (max of RGB)
+    unchanged — the property the old RGB approximation violated."""
+    from graph_detr4d_tpu.data.pipeline import photometric_distortion
+
+    # find a seed whose draw sequence is: no brightness, mode 0,
+    # no saturation, hue yes, no contrast, no swap
+    for seed in range(5000):
+        rng = np.random.RandomState(seed)
+        draws = [rng.randint(2) for _ in range(2)]  # brightness, mode
+        if draws != [0, 0]:
+            continue
+        if rng.randint(2) != 0:  # saturation
+            continue
+        if rng.randint(2) != 1:  # hue fires
+            continue
+        rng.uniform(-18, 18)
+        if rng.randint(2) != 0:  # contrast (mode 0)
+            continue
+        if rng.randint(2) != 0:  # swap
+            continue
+        r_img = np.random.RandomState(1).uniform(
+            0, 255, (8, 8, 3)
+        ).astype(np.float32)
+        out = photometric_distortion(
+            r_img, np.random.RandomState(seed)
+        )
+        np.testing.assert_allclose(
+            out.max(-1), r_img.max(-1), atol=1e-3
+        )
+        return
+    raise AssertionError("no seed found with the target draw sequence")
+
+
+def test_dataset_sweeps_num_multi(tmp_path):
+    """sweeps_num > 1 (loading.py:29-195 parameterization): each chosen
+    sweep frame appends 6 more cameras; train draws distinct indices in
+    sweep_range, test mode uses the fixed mid index padded to the static
+    count."""
+    from graph_detr4d_tpu.data.nuscenes import (
+        NuScenesSweepDataset,
+        CAM_ORDER,
+    )
+
+    def cam_entry(seed):
+        r = np.random.RandomState(seed)
+        q = r.randn(4)
+        q /= np.linalg.norm(q)
+        return {
+            "data_path": f"/fake/img{seed}.jpg",
+            "cam_intrinsic": np.eye(3) * 500.0,
+            "sensor2lidar_rotation": np.eye(3),
+            "sensor2lidar_translation": r.randn(3),
+            "sensor2ego_rotation": [1, 0, 0, 0],
+            "sensor2ego_translation": r.randn(3),
+            "ego2global_rotation": [1, 0, 0, 0],
+            "ego2global_translation": [0.0, 0.0, 0.0],
+            "timestamp": 1e15 + seed,
+        }
+
+    sweeps = []
+    for k in range(30):
+        sweeps.append(
+            {
+                cam: {
+                    **cam_entry(1000 + k * 10 + j),
+                    "data_path": f"/fake/sweep{k}_{j}.jpg",
+                }
+                for j, cam in enumerate(CAM_ORDER)
+            }
+        )
+    info = {
+        "token": "tok0",
+        "timestamp": 1e15,
+        "cams": {
+            cam: cam_entry(j) for j, cam in enumerate(CAM_ORDER)
+        },
+        "sweeps": sweeps,
+        "lidar2ego_rotation": [1, 0, 0, 0],
+        "lidar2ego_translation": [0, 0, 0],
+        "ego2global_rotation": [1, 0, 0, 0],
+        "ego2global_translation": [0, 0, 0],
+        "gt_boxes": np.zeros((1, 7), np.float32),
+        "gt_names": np.array(["car"]),
+        "gt_velocity": np.zeros((1, 2), np.float32),
+        "valid_flag": np.array([True]),
+    }
+    path = tmp_path / "infos.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"infos": [info]}, f)
+
+    ds = NuScenesSweepDataset(str(path), sweeps_num=2, max_gt=4, seed=3)
+    choices = ds.choose_sweeps(ds.infos[0])
+    assert len(choices) == 2 and choices[0] != choices[1]
+    assert all(3 <= c < 27 for c in choices)
+    s = ds.sample(0, temporal=True)
+    assert len(s["image_paths"]) == 18
+    assert s["lidar2img"].shape == (18, 4, 4)
+    # the two sweep frames are different frames
+    assert s["image_paths"][6:12] != s["image_paths"][12:18]
+
+    ds_t = NuScenesSweepDataset(
+        str(path), sweeps_num=2, max_gt=4, test_mode=True
+    )
+    ct = ds_t.choose_sweeps(ds_t.infos[0])
+    assert ct == [14, 14]  # mid-range index, padded to static count
+    st = ds_t.sample(0, temporal=True)
+    assert len(st["image_paths"]) == 18
+    assert st["image_paths"][6:12] == st["image_paths"][12:18]

@@ -269,3 +269,108 @@ def test_build_batch_aug_flags(tmp_path):
     np.testing.assert_array_equal(b1["images"], b2["images"])
     np.testing.assert_array_equal(b1["lidar2img"], b2["lidar2img"])
     np.testing.assert_array_equal(b1["gt_bboxes"], b2["gt_bboxes"])
+
+
+def test_deform3d_fix_offset_and_depth_encode():
+    """deform3d_cross_attn.py:64-65 option knobs: fix_offset freezes the
+    sampling-offset linear (zero param grads, input grads intact);
+    depth_encode widens the positional MLP input to 4 (rho channel)."""
+    from graph_detr4d_tpu.models.attention import Deform3DCrossAttn
+
+    B, N, Q, C = 1, 3, 6, 32
+    q = jnp.asarray(RNG.randn(B, Q, C), jnp.float32)
+    ref = jnp.asarray(RNG.rand(B, Q, 3), jnp.float32)
+    feats = feats_fixture(B, N, C)
+    l2i = rig(B, N)
+
+    def build(**kw):
+        attn = Deform3DCrossAttn(
+            embed_dims=C,
+            num_heads=4,
+            num_levels=2,
+            num_points=2,
+            num_cams=N,
+            pc_range=PC,
+            **kw,
+        )
+        vs = attn.init(
+            jax.random.PRNGKey(0), q, feats, q, ref, l2i, (64, 128)
+        )
+        return attn, vs
+
+    # depth_encode: Linear(4 -> C) first positional layer (reference :105)
+    attn_de, vs_de = build(depth_encode=True)
+    k0 = vs_de["params"]["position_encoder"]["layers_0"]["kernel"]
+    assert k0.shape[0] == 4
+    out = attn_de.apply(vs_de, q, feats, q, ref, l2i, (64, 128))
+    assert out.shape == (B, Q, C) and bool(jnp.isfinite(out).all())
+
+    # fix_offset: identical param tree, zero grads on sampling_offsets only
+    attn_fx, vs_fx = build(fix_offset=True)
+    attn_pl, vs_pl = build(fix_offset=False)
+    assert jax.tree_util.tree_structure(
+        vs_fx["params"]
+    ) == jax.tree_util.tree_structure(vs_pl["params"])
+
+    def loss(params):
+        y = attn_fx.apply(
+            {"params": params}, q, feats, q, ref, l2i, (64, 128)
+        )
+        return (y**2).sum()
+
+    g = jax.grad(loss)(vs_fx["params"])
+    assert float(jnp.abs(g["sampling_offsets"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(g["sampling_offsets"]["bias"]).max()) == 0.0
+    # value path still trains
+    assert float(jnp.abs(g["value_proj"]["kernel"]).max()) > 0.0
+
+
+def test_deformable_detr_decoder_generic():
+    """Generic 2D deformable decoder (models/utils/detr.py:33-115):
+    refinement semantics for 2-d refs (only first two reg channels) and
+    4-d refs, valid_ratios scaling, intermediate stacking."""
+    import flax.linen as nn_
+    from graph_detr4d_tpu.models.detr_decoder import (
+        Deformable3DDetrTransformerDecoder,
+    )
+
+    B, Q, C, L = 1, 5, 32, 2
+    dec = Deformable3DDetrTransformerDecoder(
+        embed_dims=C,
+        num_layers=2,
+        num_heads=4,
+        num_levels=L,
+        num_points=2,
+        ffn_dims=64,
+    )
+    q = jnp.asarray(RNG.randn(B, Q, C), jnp.float32)
+    qp = jnp.asarray(RNG.randn(B, Q, C), jnp.float32)
+    feats = [
+        jnp.asarray(RNG.randn(B, h, w, C), jnp.float32)
+        for h, w in ((16, 32), (8, 16))
+    ]
+    ref2 = jnp.asarray(RNG.rand(B, Q, 2), jnp.float32)
+
+    class Wrapped(nn_.Module):
+        def setup(self):
+            self.regs = [nn_.Dense(10, name=f"reg{i}") for i in range(2)]
+            self.dec = dec.copy()
+
+        def __call__(self, q, qp, feats, ref):
+            return self.dec(q, qp, feats, ref, reg_branches=self.regs)
+
+    m = Wrapped()
+    vs = m.init(jax.random.PRNGKey(0), q, qp, feats, ref2)
+    outs, refs = m.apply(vs, q, qp, feats, ref2)
+    assert outs.shape == (2, B, Q, C)
+    assert refs.shape == (2, B, Q, 2)
+    assert bool(jnp.isfinite(outs).all())
+    # refs stay in (0, 1) (sigmoid space)
+    assert float(refs.min()) > 0.0 and float(refs.max()) < 1.0
+
+    # 4-d reference points refine all four channels
+    ref4 = jnp.asarray(RNG.rand(B, Q, 4), jnp.float32)
+    vs4 = m.init(jax.random.PRNGKey(1), q, qp, feats, ref4)
+    outs4, refs4 = m.apply(vs4, q, qp, feats, ref4)
+    assert refs4.shape == (2, B, Q, 4)
+    assert bool(jnp.isfinite(outs4).all())

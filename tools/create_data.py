@@ -188,7 +188,17 @@ def build_info(sample, tables, data_root):
         e2g_r_mat = quaternion_to_rotation_matrix(e2g_r)
         l2e_r_mat = quaternion_to_rotation_matrix(l2e_r)
         locs, dims, rots, names, vels, nlp, nrp = [], [], [], [], [], [], []
+        attrs = []
+        attr_table = tables.get("attribute", {})
         for ann in anns:
+            # attribute name ('' when the annotation carries none) — the
+            # devkit's AAE ground truth (eval/nuscenes_metrics.py)
+            atoks = ann.get("attribute_tokens", [])
+            attrs.append(
+                attr_table.get(atoks[0], {}).get("name", "")
+                if atoks
+                else ""
+            )
             c, wlh, yaw = box_to_lidar(ann, l2e_t, l2e_r, e2g_t, e2g_r)
             locs.append(c)
             dims.append(wlh)
@@ -212,6 +222,7 @@ def build_info(sample, tables, data_root):
             [locs, dims, -rots - np.pi / 2], axis=1
         )
         info["gt_names"] = np.asarray(names)
+        info["gt_attrs"] = np.asarray(attrs, object)
         info["gt_velocity"] = np.asarray(vels).reshape(-1, 2)
         info["num_lidar_pts"] = np.asarray(nlp)
         info["num_radar_pts"] = np.asarray(nrp)
@@ -245,6 +256,7 @@ def main():
             "instance",
             "category",
             "scene",
+            "attribute",
         ),
     )
     keep_scenes = None

@@ -28,6 +28,12 @@ def parse_args():
     p.add_argument("--img-h", type=int, default=320)
     p.add_argument("--img-w", type=int, default=800)
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument(
+        "--sweeps-num",
+        type=int,
+        default=1,
+        help="previous frames per sample (loading.py sweeps_num)",
+    )
     p.add_argument("--out", default=None, help="write results json here")
     p.add_argument(
         "--format-nusc",
@@ -105,7 +111,9 @@ def main():
     results = []
     eval_samples = []  # multi-host: re-added into rank 0's evaluator
 
-    def run_batch(batch, gt_bboxes, gt_labels, gt_valid, tokens):
+    def run_batch(
+        batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None
+    ):
         if mesh is not None:
             from graph_detr4d_tpu.parallel.mesh import shard_batch
 
@@ -122,12 +130,18 @@ def main():
         for b in range(boxes.shape[0]):
             keep = valid[b]
             gkeep = np.asarray(gt_valid[b]) > 0
+            battrs = (
+                np.asarray(gt_attrs[b], object)[gkeep]
+                if gt_attrs is not None
+                else None
+            )
             evaluator.add_sample(
                 boxes[b][keep],
                 labels[b][keep],
                 scores[b][keep],
                 gt_bboxes[b][gkeep],
                 gt_labels[b][gkeep],
+                gt_attrs=battrs,
             )
             if jax.process_count() > 1:
                 eval_samples.append(
@@ -140,6 +154,10 @@ def main():
                             gt_bboxes[b][gkeep],
                             gt_labels[b][gkeep],
                         )
+                    ]
+                    + [
+                        [] if battrs is None
+                        else [str(a) for a in battrs]
                     ]
                 )
             results.append(
@@ -178,7 +196,10 @@ def main():
             from graph_detr4d_tpu.data.nuscenes import NuScenesSweepDataset
 
             ds = NuScenesSweepDataset(
-                args.ann_file, test_mode=True, max_gt=cfg.loss.max_gt
+                args.ann_file,
+                test_mode=True,
+                sweeps_num=args.sweeps_num,
+                max_gt=cfg.loss.max_gt,
             )
         n = min(args.max_samples or len(ds), len(ds))
         infos_by_token = {
@@ -214,6 +235,9 @@ def main():
                 batch["gt_labels"],
                 batch["gt_valid"],
                 [s.get("token", f"sample-{i}")],
+                gt_attrs=(
+                    s["gt_attrs"][None] if "gt_attrs" in s else None
+                ),
             )
 
     # multi-host: each rank writes a partial results file, a cross-host
@@ -260,6 +284,11 @@ def main():
                     np.asarray(es[2], np.float32),
                     np.asarray(es[3], np.float32).reshape(-1, 9),
                     np.asarray(es[4], np.int32),
+                    gt_attrs=(
+                        np.asarray(es[5], object)
+                        if len(es) > 5 and es[5]
+                        else None
+                    ),
                 )
 
     metrics = evaluator.evaluate()

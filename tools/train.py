@@ -40,6 +40,13 @@ def parse_args():
     p.add_argument("--tiny", action="store_true", help="tiny debug config")
     p.add_argument("--load-interval", type=int, default=2)
     p.add_argument(
+        "--sweeps-num",
+        type=int,
+        default=1,
+        help="previous frames per sample (loading.py sweeps_num); "
+        "head.num_cams must equal 6*(1+sweeps_num)",
+    )
+    p.add_argument(
         "--cbgs",
         action="store_true",
         help="class-balanced resampling (CBGSDataset parity, "
@@ -141,6 +148,7 @@ def main():
         ds = NuScenesSweepDataset(
             args.ann_file,
             load_interval=args.load_interval,
+            sweeps_num=args.sweeps_num,
             max_gt=cfg.loss.max_gt,
             seed=args.seed,
         )
@@ -212,6 +220,11 @@ def main():
                     np.asarray(det.scores[0])[keep],
                     vb["gt_bboxes"][0][gkeep],
                     vb["gt_labels"][0][gkeep],
+                    gt_attrs=(
+                        np.asarray(s["gt_attrs"], object)[gkeep]
+                        if "gt_attrs" in s
+                        else None
+                    ),
                 )
             m = evaluator.evaluate()
             return {

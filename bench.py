@@ -1,18 +1,41 @@
-"""Benchmark: 6-camera inference frames/sec on TPU.
+"""Benchmark: multi-camera inference frames/sec on TPU.
 
 Mirrors the reference's measurement protocol
 (tools/analysis_tools/benchmark.py:60-91): warmup iterations, synchronized
-timed loop, "Overall fps". Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+timed loop, "Overall fps" — and like the reference's `simple_test` the
+timed region includes the NMS-free decode (get_bboxes,
+detr3d_head_pe.py:1097-1118 + nms_free_coder.py:48-120), not just the
+network forward. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Extras in the same line:
+  * fps_12cam       — the temporal flagship rig (num_cams=12, the model the
+                      paper's 34.2 mAP belongs to, configs/detr4d/...12e.py:61)
+  * fps_b4_per_frame— batch-4 serving throughput per frame (gathers amortize)
+  * tflops / mfu    — compiled-program FLOPs (XLA cost analysis) over the
+                      measured step time, against the chip's bf16 peak
+  * useful_tflops / useful_mfu — same, with the deliberately wasteful
+                      one-hot MXU sampling matmuls excluded (thresholds
+                      forced to 0 => gather formulation, whose cost model
+                      counts only the algorithmic FMAs)
+  * cam_overflow    — sown overflow counter of the cam_capacity compaction;
+                      asserted 0 (compaction exact) before timing
 
 vs_baseline compares against the PyTorch-CPU 6-cam fps measured by
 tools/torch_cpu_baseline.py (cached in BASELINE_CPU.json; driver target is
 >=5x, BASELINE.md).
+
+Timing protocol note (CLAUDE.md): block_until_ready returns early under
+the axon tunnel; iterations chain through a device scalar and the final
+float() forces the chain.
 """
 
 import json
 import os
 import time
+
+# v5e ("TPU v5 lite") bf16 peak per chip
+PEAK_BF16_TFLOPS = 197.0
 
 
 def load_cpu_baseline():
@@ -35,64 +58,141 @@ def main():
     import numpy as np
     from graph_detr4d_tpu.config import ModelConfig, HeadConfig
     from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.core.coder import decode_batch
     from graph_detr4d_tpu.data.synthetic import synthetic_batch
 
     H, W = 640, 1600  # reference test resolution (ida final_dim)
-    N = 6  # metric is 6-camera frames/sec
-    # cam_capacity=0.5: each camera samples only its in-view queries —
-    # verified bit-exact vs capacity 1.0 on this rig (overflow counter 0;
-    # overflow would be sown as intermediates 'cam_overflow')
-    cfg = ModelConfig(
-        head=HeadConfig(num_cams=N, with_detach=False, cam_capacity=0.5),
-        img_size=(H, W),
-        bf16=True,
+
+    def build(num_cams, batch_size=1):
+        cfg = ModelConfig(
+            head=HeadConfig(
+                num_cams=num_cams, with_detach=False, cam_capacity=0.5
+            ),
+            img_size=(H, W),
+            bf16=True,
+        )
+        model = GraphDETR4D(cfg)
+        batch = synthetic_batch(cfg, batch_size=batch_size)
+        imgs = jnp.asarray(batch["images"])
+        l2i = jnp.asarray(batch["lidar2img"])
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, imgs, l2i
+        )
+        return cfg, model, variables, imgs, l2i
+
+    def timed_fps(cfg, model, variables, imgs, l2i, iters=30):
+        """Warmup + chained timed loop over forward + NMS-free decode."""
+
+        @jax.jit
+        def step(variables, images, lidar2img, carry):
+            out = model.apply(
+                variables, images + carry * 1e-12, lidar2img
+            )
+            det = decode_batch(
+                out,
+                max_num=cfg.coder.max_num,
+                post_center_range=cfg.coder.post_center_range,
+            )
+            return (
+                det.bboxes.sum()
+                + det.scores.sum()
+                + det.valid.sum().astype(jnp.float32)
+            )
+
+        carry = step(variables, imgs, l2i, jnp.float32(0.0))
+        float(carry)  # compile + sync
+        for _ in range(5):
+            carry = step(variables, imgs, l2i, carry)
+        float(carry)  # warmup sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = step(variables, imgs, l2i, carry)
+        float(carry)
+        dt = (time.perf_counter() - t0) / iters
+        return 1.0 / dt, dt
+
+    def program_flops(model, variables, imgs, l2i):
+        lowered = jax.jit(
+            lambda v, i, l: model.apply(v, i, l)
+        ).lower(variables, imgs, l2i)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+
+    # ---- 6-cam primary metric
+    cfg6, model6, vars6, imgs6, l2i6 = build(6)
+
+    # cam_capacity exactness: the sown overflow counter must be 0
+    # (attention.py sows 'cam_overflow'; > 0 would mean dropped queries)
+    _, inter = jax.jit(
+        lambda v, i, l: model6.apply(
+            v, i, l, mutable=["intermediates"]
+        )
+    )(vars6, imgs6, l2i6)
+
+    overflow = 0.0
+    for leaf in jax.tree_util.tree_leaves(inter):
+        overflow += float(np.asarray(leaf).sum())
+    assert overflow == 0.0, (
+        f"cam_capacity compaction dropped queries (overflow={overflow}); "
+        "raise HeadConfig.cam_capacity"
     )
-    model = GraphDETR4D(cfg)
-    batch = synthetic_batch(cfg, batch_size=1)
-    imgs = jnp.asarray(batch["images"])
-    l2i = jnp.asarray(batch["lidar2img"])
-    # jitted init: one compiled program instead of thousands of eager op
-    # dispatches over the device tunnel
-    variables = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0)}, imgs, l2i
-    )
 
-    # NOTE: timing protocol chains iterations through a device scalar and
-    # ends with a host value fetch. On this runtime block_until_ready can
-    # return before execution finishes, so the reference's synchronize-
-    # then-time protocol (benchmark.py:69-74) is realized via a data
-    # dependency instead — each iteration consumes the previous scalar, and
-    # the final float() forces the whole chain.
-    # params and data are jit ARGUMENTS (not closure constants) so the
-    # persistent compilation cache hits across runs
-    @jax.jit
-    def forward_chained(variables, images, lidar2img, carry):
-        out = model.apply(variables, images + carry * 1e-12, lidar2img)
-        return out["all_cls_scores"].sum()
+    fps6, dt6 = timed_fps(cfg6, model6, vars6, imgs6, l2i6)
 
-    carry = forward_chained(variables, imgs, l2i, jnp.float32(0.0))
-    float(carry)  # compile + sync
-    for _ in range(5):
-        carry = forward_chained(variables, imgs, l2i, carry)
-    float(carry)  # warmup sync
+    flops6 = program_flops(model6, vars6, imgs6, l2i6)
+    tflops = flops6 / dt6 / 1e12
+    mfu = tflops / PEAK_BF16_TFLOPS
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = forward_chained(variables, imgs, l2i, carry)
-    float(carry)
-    dt = (time.perf_counter() - t0) / iters
-    fps = 1.0 / dt
+    # useful-work FLOPs: disable the one-hot MXU sampling paths (their
+    # matmuls trade FLOPs for gather latency; they are not algorithmic
+    # work) and re-lower the same model
+    from graph_detr4d_tpu.ops import msda as _msda
+    from graph_detr4d_tpu.ops import deform_conv as _dcn
+
+    saved = (_msda.ONEHOT_MAX_PIXELS, _dcn.ONEHOT_MAX_PIXELS)
+    try:
+        _msda.ONEHOT_MAX_PIXELS = 0
+        _dcn.ONEHOT_MAX_PIXELS = 0
+        useful_flops = program_flops(model6, vars6, imgs6, l2i6)
+    finally:
+        _msda.ONEHOT_MAX_PIXELS, _dcn.ONEHOT_MAX_PIXELS = saved
+    useful_tflops = useful_flops / dt6 / 1e12
+    useful_mfu = useful_tflops / PEAK_BF16_TFLOPS
+
+    # ---- extras: 12-cam flagship + batch-4 serving
+    extras = {}
+    try:
+        cfg12, model12, vars12, imgs12, l2i12 = build(12)
+        fps12, _ = timed_fps(cfg12, model12, vars12, imgs12, l2i12, iters=15)
+        extras["fps_12cam"] = round(fps12, 3)
+    except Exception as e:  # report rather than fail the whole bench
+        extras["fps_12cam"] = None
+        extras["fps_12cam_error"] = type(e).__name__
+    try:
+        cfgb, modelb, varsb, imgsb, l2ib = build(6, batch_size=4)
+        fpsb, _ = timed_fps(cfgb, modelb, varsb, imgsb, l2ib, iters=15)
+        extras["fps_b4_per_frame"] = round(fpsb * 4, 3)
+    except Exception as e:
+        extras["fps_b4_per_frame"] = None
+        extras["fps_b4_error"] = type(e).__name__
 
     baseline = load_cpu_baseline()
-    vs = fps / baseline if baseline else None
+    vs = fps6 / baseline if baseline else None
     print(
         json.dumps(
             {
-                "metric": "6cam_inference_fps_640x1600",
-                "value": round(fps, 3),
+                "metric": "6cam_inference_fps_640x1600_incl_decode",
+                "value": round(fps6, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "tflops": round(tflops, 2),
+                "mfu": round(mfu, 4),
+                "useful_tflops": round(useful_tflops, 2),
+                "useful_mfu": round(useful_mfu, 4),
+                "cam_overflow": overflow,
+                **extras,
             }
         )
     )

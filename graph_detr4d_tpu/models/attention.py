@@ -232,7 +232,14 @@ class Deform3DCrossAttn(nn.Module):
         # — GSPMD lowers it to one psum over 'cam' ICI rings.
         sampled = constrain(sampled, "data", "cam")
         gate = jax.nn.sigmoid(cam_gate_logits.astype(jnp.float32))
-        gate = gate.transpose(0, 2, 1)[..., None]  # (B, N, Q, 1)
+        # REFERENCE QUIRK (load-bearing for checkpoint parity): the
+        # reference turns the (B, Q, N) gate into (B, N, Q, 1) with
+        # `.view(bs, num_cams, num_query, 1)` — a memory REINTERPRET of
+        # the (Q, N)-contiguous tensor, NOT a transpose
+        # (deform3d_cross_attn.py:211-212). Trained weights bake this
+        # scramble in, so we reshape (view semantics) rather than
+        # transpose. Verified by the full-model torch-oracle golden test.
+        gate = gate.reshape(B, N, Q)[..., None]  # (B, N, Q, 1)
         out = (sampled.astype(jnp.float32) * gate).sum(axis=1)
         out = constrain(out, "data")
 

@@ -58,10 +58,10 @@ class PositionEncoderMLP(nn.Module):
     def __call__(self, ref01):
         x = inverse_sigmoid(ref01.astype(jnp.float32)).astype(self.dtype)
         x = nn.Dense(self.embed_dims, dtype=self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dense(self.embed_dims, dtype=self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -231,9 +231,11 @@ class Deform3DCrossAttnMP(nn.Module):
             loc.astype(self.dtype),
             attn.reshape(B * N, Q, HH, L, P).astype(self.dtype),
         ).reshape(B, N, Q, C)
+        # reference view-scramble parity: (B, Q, N) reinterpreted as
+        # (B, N, Q) by `.view` (multi_point.py:227-228), not transposed
         gate_c = jax.nn.sigmoid(
             cam_gate(q).astype(jnp.float32)
-        ).transpose(0, 2, 1)[..., None]
+        ).reshape(B, N, Q)[..., None]
         center = (center.astype(jnp.float32) * gate_c).sum(1)  # (B, Q, C)
 
         # ---- neighbor branch: no offsets, P//4 points (:369-433)
@@ -265,9 +267,10 @@ class Deform3DCrossAttnMP(nn.Module):
             loc_n.astype(self.dtype),
             attn_n.reshape(B * N, Q * K, HH, L, Pn).astype(self.dtype),
         ).reshape(B, N, Q * K, C)
+        # same view-scramble on the neighbor gate (multi_point.py:424-425)
         gate_n = jax.nn.sigmoid(
             cam_gate(qn).astype(jnp.float32)
-        ).transpose(0, 2, 1)[..., None]
+        ).reshape(B, N, Q * K)[..., None]
         nb = (nb.astype(jnp.float32) * gate_n).sum(1)  # (B, Q*K, C)
         nb = nb.reshape(B, K, Q, C).sum(1)  # sum over neighbors
 

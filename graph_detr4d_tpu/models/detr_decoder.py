@@ -163,7 +163,7 @@ class Deformable3DDetrDecoderLayer(nn.Module):
         query = query + nn.Dropout(self.dropout)(
             attn, deterministic=deterministic
         )
-        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(query)
 
         query = Deformable2DCrossAttn(
             embed_dims=self.embed_dims,
@@ -180,11 +180,11 @@ class Deformable3DDetrDecoderLayer(nn.Module):
             reference_points_input,
             deterministic=deterministic,
         )
-        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(query)
         query = FFN(
             self.ffn_dims, self.dropout, dtype=self.dtype, name="ffn"
         )(query, deterministic=deterministic)
-        query = nn.LayerNorm(dtype=self.dtype, name="norm3")(query)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(query)
         return query
 
 

@@ -81,7 +81,7 @@ class DGCNNAttn(nn.Module):
             y = nn.Dense(
                 self.embed_dims, use_bias=False, dtype=self.dtype, name=name
             )(feats)
-            y = nn.LayerNorm(dtype=self.dtype, name=name + "_norm")(y)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name + "_norm")(y)
             y = nn.relu(y)
             return y.max(axis=2)  # max over K neighbors
 
@@ -246,7 +246,7 @@ class DGCNN3DHead(nn.Module):
                 dtype=self.dtype,
                 name=f"layer{lid}_self_attn",
             )(query, query_pos, deterministic)
-            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lid}_norm1")(
+            query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layer{lid}_norm1")(
                 query
             )
             query = BEVDeformableCrossAttn(
@@ -258,14 +258,14 @@ class DGCNN3DHead(nn.Module):
                 dtype=self.dtype,
                 name=f"layer{lid}_cross_attn",
             )(query, pe_levels, ref, query_pos, deterministic)
-            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lid}_norm2")(
+            query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layer{lid}_norm2")(
                 query
             )
             y = nn.Dense(cfg.ffn_dims, dtype=self.dtype)(query)
             y = nn.relu(y)
             y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
             y = nn.Dense(C, dtype=self.dtype)(y)
-            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lid}_norm3")(
+            query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layer{lid}_norm3")(
                 query + y
             )
 
@@ -321,7 +321,7 @@ class PillarEncoder(nn.Module):
         feats = nn.Dense(self.out_channels, dtype=self.dtype, name="pfn")(
             aug.astype(self.dtype)
         )
-        feats = nn.LayerNorm(dtype=self.dtype, name="pfn_norm")(feats)
+        feats = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pfn_norm")(feats)
         feats = nn.relu(feats).astype(jnp.float32)
         bev = jax.vmap(
             lambda f, i: pillar_scatter(f, i, self.grid_hw, reduce="max")
@@ -345,13 +345,13 @@ class SECONDBackbone(nn.Module):
                 ch, (3, 3), strides=stride, dtype=self.dtype,
                 name=f"stage{s}_down",
             )(x)
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.relu(x)
             for b in range(nb):
                 y = nn.Conv(
                     ch, (3, 3), dtype=self.dtype, name=f"stage{s}_conv{b}"
                 )(x)
-                y = nn.LayerNorm(dtype=self.dtype)(y)
+                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
                 x = nn.relu(x + y)
             outs.append(x)
         return outs

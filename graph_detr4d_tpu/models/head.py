@@ -45,7 +45,7 @@ class ClsBranch(nn.Module):
     def __call__(self, x):
         for i in range(self.num_fcs):
             x = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"fc{i}")(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln{i}")(x)
             x = nn.relu(x)
         return nn.Dense(
             self.num_classes,

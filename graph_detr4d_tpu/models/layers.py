@@ -107,8 +107,8 @@ class LNMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.out, dtype=self.dtype, name="layers_0")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="layers_1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layers_1")(x)
         x = nn.relu(x)
         x = nn.Dense(self.out, dtype=self.dtype, name="layers_3")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="layers_4")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layers_4")(x)
         return nn.relu(x)

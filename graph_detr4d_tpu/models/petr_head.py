@@ -64,7 +64,7 @@ class PETRDecoderLayer(nn.Module):
             dtype=self.dtype,
             name="self_attn",
         )(q, q, query, deterministic=deterministic)
-        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
             query
             + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
         )
@@ -79,7 +79,7 @@ class PETRDecoderLayer(nn.Module):
             memory,
             deterministic=deterministic,
         )
-        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             query
             + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
         )
@@ -88,7 +88,7 @@ class PETRDecoderLayer(nn.Module):
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.embed_dims, dtype=self.dtype)(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(query + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(query + y)
 
 
 class PETRHead(nn.Module):

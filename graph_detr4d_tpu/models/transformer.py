@@ -80,7 +80,7 @@ class DecoderLayer(nn.Module):
         query = query + nn.Dropout(self.dropout)(
             attn, deterministic=deterministic
         )
-        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(query)
 
         # graph cross attention (handles its own residual/pos MLP)
         if self.attn_type == "deform3d":
@@ -192,12 +192,12 @@ class DecoderLayer(nn.Module):
             )
         else:
             raise ValueError(f"unknown attn_type {self.attn_type!r}")
-        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(query)
 
         query = FFN(
             self.ffn_dims, self.dropout, dtype=self.dtype, name="ffn"
         )(query, deterministic=deterministic)
-        query = nn.LayerNorm(dtype=self.dtype, name="norm3")(query)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(query)
         return query
 
 

@@ -133,7 +133,11 @@ def _with_mesh(fn, mesh: Mesh):
         with jax.set_mesh(mesh):
             return fn(*args, **kwargs)
 
-    wrapped.lower = lambda *a, **k: fn.lower(*a, **k)
+    def lower(*a, **k):
+        with jax.set_mesh(mesh):
+            return fn.lower(*a, **k)
+
+    wrapped.lower = lower
     return wrapped
 
 

@@ -69,9 +69,11 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
         if bias and src_prefix + ".bias" in sd:
             _set(params, dst_scope + ["bias"], sd[src_prefix + ".bias"])
 
-    # ---------------- backbone (mmcv ResNet naming)
-    conv(["backbone", "stem_conv"], "img_backbone.conv1")
-    bn(["backbone", "stem_bn"], "img_backbone.bn1")
+    # ---------------- backbone (mmcv ResNet naming); guarded so head-only
+    # state dicts (oracle fixtures, stripped checkpoints) convert too
+    if "img_backbone.conv1.weight" in sd:
+        conv(["backbone", "stem_conv"], "img_backbone.conv1")
+        bn(["backbone", "stem_bn"], "img_backbone.bn1")
     for key in sd:
         if key.startswith("img_backbone.layer") and key.endswith(
             ".conv1.weight"

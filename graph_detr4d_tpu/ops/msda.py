@@ -290,8 +290,14 @@ def multi_scale_deformable_attention(
         )
         v = values[lvl]
         small = v.shape[1] * v.shape[2] <= ONEHOT_MAX_PIXELS
+        # rematerialize the one-hot path: its (B, S, nheads, H*W) weight
+        # matrix is cheap to recompute but multi-GB if saved for backward
+        # (at 320x800 train resolution ALL four levels fall under the
+        # threshold; saving them exhausted HBM and crashed the worker on
+        # the 12-cam train step — same failure mode as the DCN one-hot
+        # postmortem, CLAUDE.md 2026-08-17)
         sample = (
-            _sample_level_onehot
+            jax.checkpoint(_sample_level_onehot)
             if (small and impl != "gather4")
             else base
         )

@@ -292,3 +292,32 @@ def test_dcn_onehot_path_matches_gather_path(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(onehot2), np.asarray(gather2), rtol=1e-5, atol=1e-5
     )
+
+
+def test_msda_onehot_remat_grad_matches_gather(monkeypatch):
+    """The remat'd one-hot MSDA path (jax.checkpoint around
+    _sample_level_onehot — backward recomputes the (B,S,heads,HW) weight
+    matrices instead of saving multi-GB residuals) must produce the same
+    forward AND gradients as the gather formulation."""
+    import graph_detr4d_tpu.ops.msda as msda_mod
+
+    rng = np.random.RandomState(5)
+    B, H, W, nheads, hd, Q, P = 2, 8, 10, 2, 4, 6, 2
+    values = [jnp.asarray(rng.randn(B, H, W, nheads, hd), jnp.float32)]
+    loc = jnp.asarray(rng.rand(B, Q, nheads, 1, P, 2), jnp.float32)
+    attn = jnp.asarray(rng.rand(B, Q, nheads, 1, P), jnp.float32)
+
+    def loss(v, l, a):
+        return (
+            multi_scale_deformable_attention([v], l, a) ** 2
+        ).sum()
+
+    # H*W = 80 <= threshold -> one-hot (remat) path
+    f1 = jax.value_and_grad(loss, argnums=(0, 1, 2))(values[0], loc, attn)
+    monkeypatch.setattr(msda_mod, "ONEHOT_MAX_PIXELS", 0)  # force gather
+    f2 = jax.value_and_grad(loss, argnums=(0, 1, 2))(values[0], loc, attn)
+    np.testing.assert_allclose(float(f1[0]), float(f2[0]), rtol=1e-5)
+    for g1, g2 in zip(f1[1], f2[1]):
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5
+        )

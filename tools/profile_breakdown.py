@@ -1,7 +1,14 @@
 """Ablation timing: which stage dominates the TPU forward pass.
 
-Times backbone-only, backbone+neck, PE-only, full head on the bench config
-to direct kernel optimization effort.
+Times backbone+neck alone, the full forward, and full forward + NMS-free
+decode on the bench config, plus ablations (no DCN, cam_capacity off,
+one-hot sampling off) to direct kernel optimization effort.
+
+Timing uses the chained-device-scalar protocol (CLAUDE.md: on this
+runtime block_until_ready can return early; every measurement chains
+iterations through a scalar data dependency and ends with a host fetch).
+
+Committed results: PROFILE.md at the repo root.
 """
 
 import os
@@ -22,23 +29,30 @@ import jax.numpy as jnp
 
 from graph_detr4d_tpu.config import ModelConfig, HeadConfig, BackboneConfig
 from graph_detr4d_tpu.models import GraphDETR4D
+from graph_detr4d_tpu.core.coder import decode_batch
 from graph_detr4d_tpu.data.synthetic import synthetic_batch
 
 
-def timeit(f, *args, iters=10):
-    out = f(*args)
-    jax.block_until_ready(out)
+def chained_time(fn, iters=15):
+    """fn: scalar carry -> scalar carry, jitted. Returns ms/iter."""
+    acc = fn(jnp.float32(0.0))
+    float(acc)  # compile + sync
+    for _ in range(3):
+        acc = fn(acc)
+    float(acc)  # warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        acc = fn(acc)
+    float(acc)
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
-def main(H=640, W=1600, N=6, use_dcn=True):
+def build(H, W, N, use_dcn=True, cam_capacity=0.5):
     cfg = ModelConfig(
         backbone=BackboneConfig(use_dcn=use_dcn),
-        head=HeadConfig(num_cams=N, with_detach=False),
+        head=HeadConfig(
+            num_cams=N, with_detach=False, cam_capacity=cam_capacity
+        ),
         img_size=(H, W),
         bf16=True,
     )
@@ -46,21 +60,73 @@ def main(H=640, W=1600, N=6, use_dcn=True):
     batch = synthetic_batch(cfg, batch_size=1)
     imgs = jnp.asarray(batch["images"])
     l2i = jnp.asarray(batch["lidar2img"])
-    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, imgs, l2i)
-
-    feats_fn = jax.jit(
-        lambda i: model.apply(
-            variables, i, train=False, rng=None, method=lambda m, i, train, rng: m.extract_feats(i, train, rng)
-        )
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, imgs, l2i
     )
-    full_fn = jax.jit(lambda i, l: model.apply(variables, i, l))
+    return cfg, model, variables, imgs, l2i
 
-    t_feats = timeit(feats_fn, imgs)
-    t_full = timeit(full_fn, imgs, l2i)
-    print(f"dcn={use_dcn} feats: {t_feats*1e3:.1f} ms")
-    print(f"dcn={use_dcn} full:  {t_full*1e3:.1f} ms  head≈{(t_full-t_feats)*1e3:.1f} ms")
+
+def measure(tag, H=640, W=1600, N=6, **kw):
+    cfg, model, variables, imgs, l2i = build(H, W, N, **kw)
+
+    @jax.jit
+    def feats_fn(carry):
+        feats = model.apply(
+            variables,
+            imgs + carry * 1e-12,
+            train=False,
+            rng=None,
+            method=lambda m, i, train, rng: m.extract_feats(i, train, rng),
+        )
+        return sum(f.sum() for f in feats).astype(jnp.float32)
+
+    @jax.jit
+    def full_fn(carry):
+        out = model.apply(variables, imgs + carry * 1e-12, l2i)
+        return out["all_cls_scores"].sum().astype(jnp.float32)
+
+    @jax.jit
+    def full_decode_fn(carry):
+        out = model.apply(variables, imgs + carry * 1e-12, l2i)
+        det = decode_batch(
+            out,
+            max_num=cfg.coder.max_num,
+            post_center_range=cfg.coder.post_center_range,
+        )
+        return det.bboxes.sum() + det.scores.sum()
+
+    t_feats = chained_time(feats_fn)
+    t_full = chained_time(full_fn)
+    t_dec = chained_time(full_decode_fn)
+    print(
+        f"{tag:28s} feats {t_feats:6.1f} ms | full {t_full:6.1f} ms "
+        f"(head ~{t_full - t_feats:5.1f}) | +decode {t_dec:6.1f} ms",
+        flush=True,
+    )
+    return t_feats, t_full, t_dec
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    measure("bench (dcn, cap .5)")
+    measure("cam_capacity off", cam_capacity=1.0)
+    measure("no dcn", use_dcn=False)
+
+    # one-hot MXU sampling off (pure gather formulation)
+    from graph_detr4d_tpu.ops import msda as _msda
+    from graph_detr4d_tpu.ops import deform_conv as _dcn
+
+    saved = (_msda.ONEHOT_MAX_PIXELS, _dcn.ONEHOT_MAX_PIXELS)
+    try:
+        _msda.ONEHOT_MAX_PIXELS = 0
+        _dcn.ONEHOT_MAX_PIXELS = 0
+        measure("one-hot sampling off")
+    finally:
+        _msda.ONEHOT_MAX_PIXELS, _dcn.ONEHOT_MAX_PIXELS = saved
+
+    # 12-cam flagship shape
+    measure("12-cam (dcn, cap .5)", N=12)
 
 
 if __name__ == "__main__":
-    main(use_dcn=True)
-    main(use_dcn=False)
+    main()

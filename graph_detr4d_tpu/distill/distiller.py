@@ -49,6 +49,13 @@ class DistillConfig:
     # embedding table and distill on those guided outputs
     # (mix_distill.py:102, detr3d_head_pe.py:617-671)
     mix: bool = False
+    # TPU perf knob (beyond reference): cap the soft-GT rows to the top-K
+    # teacher queries by max sigmoid score before the Hungarian. The
+    # reference solves the full square Qt x Qs problem on the CPU via
+    # scipy (distill_hungarian_assigner_3d.py); on device the JV
+    # augmenting-path cost scales ~K^2 * Qs, so K=Qt=900 would dominate
+    # the distill step. None = all teacher rows (exact reference parity).
+    teacher_top_k: Optional[int] = None
 
 
 class Distiller(nn.Module):
@@ -110,6 +117,11 @@ def instance_distill_loss(
         def per_image(sc, sb, tc, tb):
             t_scores = jax.nn.sigmoid(tc.astype(jnp.float32))
             t_codes = tb.astype(jnp.float32)
+            k = dcfg.teacher_top_k
+            if k is not None and k < t_scores.shape[0]:
+                _, idx = jax.lax.top_k(t_scores.max(-1), k)
+                t_scores = t_scores[idx]
+                t_codes = t_codes[idx]
             t_for_s = match_soft_targets(
                 sc,
                 sb,

@@ -39,6 +39,65 @@ def test_match_soft_targets_identity():
     np.testing.assert_array_equal(t_for_s, np.arange(Q))
 
 
+def test_teacher_top_k_parity_and_reduction():
+    """teacher_top_k >= Qt is exactly the full path; a smaller K matches a
+    scipy brute-force solve of the reduced (top-K teacher rows) problem."""
+    from scipy.optimize import linear_sum_assignment
+
+    from graph_detr4d_tpu.distill.distiller import instance_distill_loss
+
+    Qs = Qt = 12
+    C = 4
+    t_cls = jnp.asarray(RNG.randn(2, 1, Qt, C) * 3, jnp.float32)
+    t_box = jnp.asarray(RNG.randn(2, 1, Qt, 10), jnp.float32)
+    s_cls = jnp.asarray(RNG.randn(2, 1, Qs, C) * 3, jnp.float32)
+    s_box = jnp.asarray(RNG.randn(2, 1, Qs, 10), jnp.float32)
+    t_outs = {"all_cls_scores": t_cls, "all_bbox_preds": t_box}
+    s_outs = {"all_cls_scores": s_cls, "all_bbox_preds": s_box}
+
+    full = instance_distill_loss(t_outs, s_outs, None, DistillConfig())
+    same = instance_distill_loss(
+        t_outs, s_outs, None, DistillConfig(teacher_top_k=Qt)
+    )
+    np.testing.assert_allclose(
+        float(full[0]), float(same[0]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(full[1]), float(same[1]), rtol=1e-6
+    )
+
+    # K < Qt: verify the matching equals scipy on the reduced cost
+    K = 5
+    red = instance_distill_loss(
+        t_outs, s_outs, None, DistillConfig(teacher_top_k=K)
+    )
+    assert np.isfinite(float(red[0])) and np.isfinite(float(red[1]))
+
+    # independent oracle for one stage/image
+    sc = np.asarray(s_cls[0, 0])
+    sb = np.asarray(s_box[0, 0])
+    t_scores = 1.0 / (1.0 + np.exp(-np.asarray(t_cls[0, 0])))
+    idx = np.argsort(-t_scores.max(-1))[:K]
+    ts, tb_k = t_scores[idx], np.asarray(t_box[0, 0])[idx]
+    log_p = -np.logaddexp(0, -sc)
+    log_np = -np.logaddexp(0, sc)
+    cost = -(log_p @ ts.T + log_np @ (1 - ts).T) / C
+    cost += 0.25 * np.abs(
+        sb[:, None, :8] - tb_k[None, :, :8]
+    ).sum(-1)
+    rows, cols = linear_sum_assignment(cost.T)  # rows=teacher, cols=student
+    from graph_detr4d_tpu.distill.losses import match_soft_targets
+
+    t_for_s = np.asarray(
+        match_soft_targets(
+            jnp.asarray(sc), jnp.asarray(sb), jnp.asarray(ts), jnp.asarray(tb_k)
+        )
+    )
+    oracle_cost = cost.T[rows, cols].sum()
+    ours_cost = cost.T[np.arange(K), t_for_s].sum()
+    np.testing.assert_allclose(ours_cost, oracle_cost, rtol=1e-5)
+
+
 def test_feat_distill_zero_when_identical():
     f = [jnp.asarray(RNG.randn(1, 2, 4, 4, 8), jnp.float32)]
     assert float(feat_distill_loss(f, f, "vanilla")) == 0.0

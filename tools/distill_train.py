@@ -32,6 +32,13 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny smoke configs")
     p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument(
+        "--teacher-top-k",
+        type=int,
+        default=None,
+        help="cap instance-distill soft GT to top-K teacher queries "
+        "(on-device matching cost ~K^2; default: all = reference parity)",
+    )
     return p.parse_args()
 
 
@@ -78,6 +85,7 @@ def main():
         feat_distill_kind=bundle.feat_mode,
         reweight_score=bundle.reweight_score,
         mix=bundle.mix,
+        teacher_top_k=args.teacher_top_k,
     )
 
     teacher = GraphDETR4D(t_cfg)

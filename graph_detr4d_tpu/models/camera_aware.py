@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import FrozenBatchNorm, SELayer, TwoLayerMLP
+from ..geometry.projection import inv4x4
 
 
 class DepthNet(nn.Module):
@@ -36,7 +37,7 @@ class DepthNet(nn.Module):
         )(y)
         y = nn.relu(y)
 
-        inv_k = jnp.linalg.inv(intrinsics.astype(jnp.float32))
+        inv_k = inv4x4(intrinsics)
         pixel_size = jnp.sqrt(
             inv_k[..., 0, 0] ** 2 + inv_k[..., 1, 1] ** 2
         )  # (B, N)

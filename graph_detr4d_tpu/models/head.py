@@ -28,6 +28,7 @@ from .layers import SELayer, TwoLayerMLP
 from .positional import sine_positional_encoding_3d, lid_depth_bins
 from .transformer import DecoderLayer
 from ..utils.math import inverse_sigmoid
+from ..geometry.projection import inv4x4
 
 
 def _bias_init_prob(p: float):
@@ -102,7 +103,7 @@ class Detr3DHeadPE(nn.Module):
             axis=-1,
         )  # (H, W, D, 4)
 
-        img2lidar = jnp.linalg.inv(lidar2img.astype(jnp.float32))
+        img2lidar = inv4x4(lidar2img)
         p3d = jnp.einsum("bnij,hwdj->bnhwdi", img2lidar, coords)[..., :3]
         lo = jnp.asarray(cfg.pc_range[:3])
         hi = jnp.asarray(cfg.pc_range[3:])

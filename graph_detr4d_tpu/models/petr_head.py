@@ -28,6 +28,7 @@ from .positional import sine_positional_encoding_3d, lid_depth_bins
 from .head import ClsBranch, RegBranch
 from .layers import TwoLayerMLP
 from ..utils.math import inverse_sigmoid
+from ..geometry.projection import inv4x4
 
 
 def pos2posemb3d(pos, num_pos_feats=128, temperature=10000.0):
@@ -144,7 +145,7 @@ class PETRHead(nn.Module):
             ],
             -1,
         )
-        img2lidar = jnp.linalg.inv(lidar2img.astype(jnp.float32))
+        img2lidar = inv4x4(lidar2img)
         p3d = jnp.einsum("bnij,hwdj->bnhwdi", img2lidar, coords)[..., :3]
         pr = self.position_range
         lo = jnp.asarray(pr[:3])

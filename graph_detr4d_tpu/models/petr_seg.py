@@ -28,6 +28,7 @@ from .petr_head import PETRDecoderLayer, pos2posemb3d
 from .head import ClsBranch, RegBranch
 from .layers import TwoLayerMLP
 from ..utils.math import inverse_sigmoid
+from ..geometry.projection import inv4x4
 
 
 def pos2posemb2d(pos, num_pos_feats=128, temperature=10000.0):
@@ -154,7 +155,7 @@ class PETRHeadSeg(nn.Module):
             ],
             -1,
         )
-        img2lidar = jnp.linalg.inv(lidar2img.astype(jnp.float32))
+        img2lidar = inv4x4(lidar2img)
         p3d = jnp.einsum("bnij,hwdj->bnhwdi", img2lidar, coords)[..., :3]
         pr = self.position_range
         lo = jnp.asarray(pr[:3])

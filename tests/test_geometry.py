@@ -211,3 +211,44 @@ def test_projection_oracle():
                 if ref_valid:
                     np.testing.assert_allclose(loc[b, n, p], ref_loc, atol=5e-3)
                 assert mask[b, n, p] == pytest.approx(float(ref_valid))
+
+
+def test_closed_form_inverses_match_numpy():
+    """inv4x4/inv3x3 (closed-form, no LAPACK custom call — exportable and
+    TPU-fusable) must match np.linalg.inv on realistic lidar2img-style
+    matrices: K @ [R|t] with large focal lengths, plus random batches."""
+    import numpy as np
+    from graph_detr4d_tpu.geometry.projection import inv3x3, inv4x4
+
+    rng = np.random.RandomState(0)
+    # realistic projective matrices: intrinsics (f~1000) @ rigid transform
+    mats = []
+    for _ in range(8):
+        k = np.eye(4)
+        k[0, 0] = rng.uniform(800, 1400)
+        k[1, 1] = rng.uniform(800, 1400)
+        k[0, 2] = rng.uniform(500, 900)
+        k[1, 2] = rng.uniform(200, 500)
+        theta = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(theta), np.sin(theta)
+        rt = np.eye(4)
+        rt[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]]) @ np.array(
+            [[1, 0, 0], [0, 0, -1], [0, 1, 0]]
+        )
+        rt[:3, 3] = rng.uniform(-2, 2, 3)
+        mats.append(k @ rt)
+    m4 = np.stack(mats).reshape(2, 4, 4, 4).astype(np.float32)
+    got = np.asarray(inv4x4(m4))
+    want = np.linalg.inv(m4.astype(np.float64))
+    # fp32 closed-form vs fp64 LU; focal~1e3 -> inverse entries ~1e-3
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+    # and actually inverts: m @ inv(m) == I
+    prod = np.einsum("bnij,bnjk->bnik", m4.astype(np.float64), got)
+    np.testing.assert_allclose(
+        prod, np.broadcast_to(np.eye(4), prod.shape), atol=5e-4
+    )
+
+    m3 = m4[..., :3, :3]
+    got3 = np.asarray(inv3x3(m3))
+    want3 = np.linalg.inv(m3.astype(np.float64))
+    np.testing.assert_allclose(got3, want3, rtol=2e-4, atol=1e-6)

@@ -1,0 +1,193 @@
+"""AOT serving export: serialize the jitted inference function (forward +
+NMS-free decode, weights embedded) to a portable StableHLO artifact via
+``jax.export``.
+
+Beyond-reference serving capability: the reference serves through the
+full torch/mmcv Python stack every request (tools/test.py ->
+model.simple_test). Here the whole inference program — backbone, FPN,
+decoder, NMS-free decode (nms_free_coder.py:48-120 behavior) — is
+lowered ahead of time into one multi-platform artifact that a serving
+process deserializes and calls without the model code or config system;
+XLA recompiles nothing at load time on the platforms baked in at export.
+
+Usage:
+  python tools/export_model.py --config detr4d_res50_deform_pe_testaug_2subset_12e \
+      --checkpoint work_dirs/x/checkpoints --out work_dirs/export
+  python tools/export_model.py --run work_dirs/export      # smoke the artifact
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None, help="named config")
+    p.add_argument("--cfg-options", nargs="*", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--checkpoint", default=None, help="orbax ckpt dir")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument(
+        "--platforms",
+        default="cpu,tpu",
+        help="comma-separated lowering platforms baked into the artifact",
+    )
+    p.add_argument("--out", default="work_dirs/export")
+    p.add_argument(
+        "--no-verify",
+        action="store_true",
+        help="skip the deserialize+run-and-compare check after export",
+    )
+    p.add_argument(
+        "--run",
+        default=None,
+        metavar="DIR",
+        help="load an exported artifact and run it on a synthetic batch "
+        "(no model code path)",
+    )
+    return p.parse_args()
+
+
+def run_artifact(out_dir):
+    """Serving-side path: manifest + bytes only, no model construction."""
+    from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+    import numpy as np
+    from jax import export
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    with open(os.path.join(out_dir, "model.jaxexport"), "rb") as f:
+        exp = export.deserialize(f.read())
+    B = manifest["batch_size"]
+    N = manifest["num_cams"]
+    H, W = manifest["img_size"]
+    rng = np.random.RandomState(0)
+    images = rng.randn(B, N, H, W, 3).astype(np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    out = exp.call(images, l2i)
+    det = {k: np.asarray(v) for k, v in out.items()}
+    n_valid = int(det["valid"].sum())
+    assert np.isfinite(det["bboxes"][det["valid"]]).all()
+    print(
+        json.dumps(
+            {
+                "artifact": out_dir,
+                "platforms": manifest["platforms"],
+                "detections_shape": list(det["bboxes"].shape),
+                "n_valid": n_valid,
+            }
+        )
+    )
+
+
+def main():
+    args = parse_args()
+    if args.run:
+        run_artifact(args.run)
+        return
+
+    import jax
+
+    from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export
+
+    from graph_detr4d_tpu.config import tiny_test_config
+    from graph_detr4d_tpu.core.coder import decode_batch
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.train.checkpoint import CheckpointManager
+
+    if args.tiny:
+        cfg = tiny_test_config()
+        cfg_name = "tiny"
+    else:
+        from graph_detr4d_tpu.configs import get_config
+
+        cfg_name = args.config
+        cfg = get_config(cfg_name, args.cfg_options)
+
+    model = GraphDETR4D(cfg)
+    batch = synthetic_batch(cfg, batch_size=args.batch_size)
+    imgs = jnp.asarray(batch["images"])
+    l2i = jnp.asarray(batch["lidar2img"])
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, imgs, l2i
+    )
+    if args.checkpoint:
+        mngr = CheckpointManager(args.checkpoint, cfg)
+        params = mngr.load_weights(
+            jax.tree.map(np.asarray, variables["params"])
+        )
+        if params is None:
+            raise SystemExit(f"no checkpoint found in {args.checkpoint}")
+        variables = {**variables, "params": params}
+        print(f"loaded weights from {args.checkpoint}")
+
+    def infer(images, lidar2img):
+        out = model.apply(variables, images, lidar2img)
+        det = decode_batch(
+            out,
+            max_num=cfg.coder.max_num,
+            post_center_range=cfg.coder.post_center_range,
+        )
+        return {
+            "bboxes": det.bboxes,
+            "scores": det.scores,
+            "labels": det.labels,
+            "valid": det.valid,
+        }
+
+    platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
+    exp = export.export(jax.jit(infer), platforms=platforms)(
+        jax.ShapeDtypeStruct(imgs.shape, imgs.dtype),
+        jax.ShapeDtypeStruct(l2i.shape, l2i.dtype),
+    )
+    blob = exp.serialize()
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "model.jaxexport"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "config": cfg_name,
+        "batch_size": args.batch_size,
+        "num_cams": cfg.head.num_cams,
+        "img_size": list(cfg.img_size),
+        "platforms": platforms,
+        "inputs": {
+            "images": [list(imgs.shape), str(imgs.dtype)],
+            "lidar2img": [list(l2i.shape), str(l2i.dtype)],
+        },
+        "outputs": ["bboxes", "scores", "labels", "valid"],
+        "size_bytes": len(blob),
+    }
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(json.dumps({"exported": args.out, **manifest}))
+
+    if not args.no_verify:
+        exp2 = export.deserialize(blob)
+        got = exp2.call(imgs, l2i)
+        want = jax.jit(infer)(imgs, l2i)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]),
+                np.asarray(want[k]),
+                rtol=2e-5,
+                atol=2e-5,
+                err_msg=k,
+            )
+        print("verify: deserialized artifact matches direct inference")
+
+
+if __name__ == "__main__":
+    main()

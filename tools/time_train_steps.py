@@ -1,0 +1,179 @@
+"""On-chip train-step timing: flagship train step and distill train step.
+
+VERDICT r1 item 8: the instance-distill matcher solves a square
+teacher-queries x student-queries Jonker-Volgenant per decoder stage per
+image — time it on the real chip, full rows vs --teacher-top-k capped.
+
+Timing chains steps through the params data dependency (step i+1 consumes
+step i's params) and ends with a host fetch of the loss — the
+block_until_ready-free protocol this runtime requires (CLAUDE.md).
+
+Usage:
+  python tools/time_train_steps.py                   # flagship train step
+  python tools/time_train_steps.py --distill         # distill step (full JV)
+  python tools/time_train_steps.py --distill --teacher-top-k 32
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="detr4d_res50_deform_pe_testaug_2subset_12e")
+    p.add_argument("--distill-config", default="mixdistill_r50_r18_cls_reg_2subset")
+    p.add_argument("--distill", action="store_true")
+    p.add_argument("--teacher-top-k", type=int, default=None)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument(
+        "--cfg-options", nargs="*", default=["backbone.remat=true", "head.cam_capacity=0.5"]
+    )
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    import jax.numpy as jnp
+    import json
+    import optax
+
+    from graph_detr4d_tpu.configs import get_config
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.train.optim import build_optimizer
+
+    print("devices:", jax.devices(), flush=True)
+
+    if args.distill:
+        from graph_detr4d_tpu.configs import get_distill_config
+        from graph_detr4d_tpu.distill import Distiller, DistillConfig, distill_loss
+
+        bundle = get_distill_config(args.distill_config)
+        t_cfg, s_cfg = bundle.teacher, bundle.student
+        dcfg = DistillConfig(
+            use_instance_distill=bundle.distill_cls or bundle.distill_reg,
+            cls_distill_weight=1.0 if bundle.distill_cls else 0.0,
+            reg_distill_weight=0.25 if bundle.distill_reg else 0.0,
+            use_feat_distill=bundle.distill_feat,
+            feat_distill_kind=bundle.feat_mode,
+            reweight_score=bundle.reweight_score,
+            mix=bundle.mix,
+            teacher_top_k=args.teacher_top_k,
+        )
+        teacher = GraphDETR4D(t_cfg)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in synthetic_batch(
+                t_cfg, batch_size=args.batch_size, seed=0
+            ).items()
+        }
+        imgs, l2i = batch["images"], batch["lidar2img"]
+        tvars = jax.jit(teacher.init)({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+        t_qe = tvars["params"]["head"]["query_embedding"] if bundle.mix else None
+        dist = Distiller(
+            student_cfg=s_cfg, teacher_feat_channels=t_cfg.neck.out_channels
+        )
+        dvars = jax.jit(dist.init)(
+            {"params": jax.random.PRNGKey(1)}, imgs, l2i, teacher_query_embed=t_qe
+        )
+        tx = build_optimizer(s_cfg.train)
+        opt_state = tx.init(dvars["params"])
+        rng = jax.random.PRNGKey(7)
+
+        @jax.jit
+        def step(params, opt_state):
+            t_feats = teacher.apply(
+                tvars, imgs, False, None, method=GraphDETR4D.extract_feats
+            )
+            t_outs = teacher.apply(tvars, imgs, l2i)
+
+            def loss_fn(p):
+                variables = {**dvars, "params": p}
+                s_outs, adapted = dist.apply(
+                    variables,
+                    imgs,
+                    l2i,
+                    train=True,
+                    rng=rng,
+                    teacher_query_embed=t_qe,
+                    rngs={"dropout": rng},
+                )
+                return distill_loss(
+                    s_outs,
+                    adapted,
+                    t_outs,
+                    [jax.lax.stop_gradient(f) for f in t_feats],
+                    batch["gt_bboxes"],
+                    batch["gt_labels"],
+                    batch["gt_valid"],
+                    s_cfg,
+                    dcfg,
+                )
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params = dvars["params"]
+        tag = f"distill[{args.distill_config}] top_k={args.teacher_top_k}"
+    else:
+        from graph_detr4d_tpu.parallel.step import build_train_step, init_state
+
+        cfg = get_config(args.config, args.cfg_options)
+        model = GraphDETR4D(cfg)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in synthetic_batch(
+                cfg, batch_size=args.batch_size, seed=0
+            ).items()
+        }
+        train_step = build_train_step(model, cfg)
+        tstate = init_state(model, cfg, jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(7)
+
+        def step(params, opt_state):
+            nonlocal tstate
+            tstate, metrics = train_step(tstate, batch, rng)
+            return None, None, metrics["loss"]
+
+        params = opt_state = None
+        tag = f"train[{args.config}] bs={args.batch_size}"
+
+    # compile + warm: 2 steps, force with host fetch of the loss
+    params, opt_state, loss = step(params, opt_state)
+    print(f"{tag}: first-step loss {float(loss):.3f} (compiled)", flush=True)
+    params, opt_state, loss = step(params, opt_state)
+    float(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        params, opt_state, loss = step(params, opt_state)
+    final = float(loss)  # forces the whole chain
+    ms = (time.perf_counter() - t0) / args.iters * 1e3
+    print(
+        json.dumps(
+            {"what": tag, "step_ms": round(ms, 1), "iters": args.iters, "final_loss": final}
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ def chained_time(fn, iters=15):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def build(H, W, N, use_dcn=True, cam_capacity=0.5):
+def build(H, W, N, use_dcn=True, cam_capacity=0.5, batch_size=1):
     cfg = ModelConfig(
         backbone=BackboneConfig(use_dcn=use_dcn),
         head=HeadConfig(
@@ -57,7 +57,7 @@ def build(H, W, N, use_dcn=True, cam_capacity=0.5):
         bf16=True,
     )
     model = GraphDETR4D(cfg)
-    batch = synthetic_batch(cfg, batch_size=1)
+    batch = synthetic_batch(cfg, batch_size=batch_size)
     imgs = jnp.asarray(batch["images"])
     l2i = jnp.asarray(batch["lidar2img"])
     variables = jax.jit(model.init)(
@@ -69,25 +69,29 @@ def build(H, W, N, use_dcn=True, cam_capacity=0.5):
 def measure(tag, H=640, W=1600, N=6, **kw):
     cfg, model, variables, imgs, l2i = build(H, W, N, **kw)
 
+    # variables/imgs MUST be jit arguments, not closure captures: captured
+    # arrays embed as HLO constants (140+ MB of params), and the axon
+    # tunnel's remote_compile endpoint rejects the oversized program
+    # proto with HTTP 413.
     @jax.jit
-    def feats_fn(carry):
+    def feats_fn(v, i, carry):
         feats = model.apply(
-            variables,
-            imgs + carry * 1e-12,
+            v,
+            i + carry * 1e-12,
             train=False,
             rng=None,
-            method=lambda m, i, train, rng: m.extract_feats(i, train, rng),
+            method=lambda m, im, train, rng: m.extract_feats(im, train, rng),
         )
         return sum(f.sum() for f in feats).astype(jnp.float32)
 
     @jax.jit
-    def full_fn(carry):
-        out = model.apply(variables, imgs + carry * 1e-12, l2i)
+    def full_fn(v, i, l, carry):
+        out = model.apply(v, i + carry * 1e-12, l)
         return out["all_cls_scores"].sum().astype(jnp.float32)
 
     @jax.jit
-    def full_decode_fn(carry):
-        out = model.apply(variables, imgs + carry * 1e-12, l2i)
+    def full_decode_fn(v, i, l, carry):
+        out = model.apply(v, i + carry * 1e-12, l)
         det = decode_batch(
             out,
             max_num=cfg.coder.max_num,
@@ -95,9 +99,9 @@ def measure(tag, H=640, W=1600, N=6, **kw):
         )
         return det.bboxes.sum() + det.scores.sum()
 
-    t_feats = chained_time(feats_fn)
-    t_full = chained_time(full_fn)
-    t_dec = chained_time(full_decode_fn)
+    t_feats = chained_time(lambda c: feats_fn(variables, imgs, c))
+    t_full = chained_time(lambda c: full_fn(variables, imgs, l2i, c))
+    t_dec = chained_time(lambda c: full_decode_fn(variables, imgs, l2i, c))
     print(
         f"{tag:28s} feats {t_feats:6.1f} ms | full {t_full:6.1f} ms "
         f"(head ~{t_full - t_feats:5.1f}) | +decode {t_dec:6.1f} ms",
@@ -126,6 +130,11 @@ def main():
 
     # 12-cam flagship shape
     measure("12-cam (dcn, cap .5)", N=12)
+
+    # batch scaling: bench r2 found batch-4 per-frame fps WORSE than
+    # batch-1 (7.41 vs 9.32); localize which stage scales superlinearly
+    measure("batch-2 (dcn, cap .5)", batch_size=2)
+    measure("batch-4 (dcn, cap .5)", batch_size=4)
 
 
 if __name__ == "__main__":

@@ -111,7 +111,25 @@ def main():
     results = []
     eval_samples = []  # multi-host: re-added into rank 0's evaluator
 
+    # the eval loop is a 2-stage pipeline: submit_batch enqueues the
+    # device step and returns immediately (JAX dispatch is async); the
+    # host-side decode/evaluator work for step i runs while the device
+    # executes step i+1. One pending slot ≡ double buffering — same
+    # overlap the reference gets from DataLoader workers + CUDA streams.
+    _pending = []
+
     def run_batch(
+        batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None
+    ):
+        submit_batch(batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs)
+        while len(_pending) > 1:
+            finish_batch(_pending.pop(0))
+
+    def drain_batches():
+        while _pending:
+            finish_batch(_pending.pop(0))
+
+    def submit_batch(
         batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None
     ):
         if mesh is not None:
@@ -123,6 +141,12 @@ def main():
         else:
             dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         det = eval_step(state.params, state.batch_stats, dev_batch)
+        _pending.append(
+            (det, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs)
+        )
+
+    def finish_batch(item):
+        det, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs = item
         boxes = np.asarray(det.bboxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
@@ -220,12 +244,21 @@ def main():
             )
             if os.path.exists(stale):
                 os.remove(stale)
-        for i in range(rank, n, world):
-            if args.no_temporal and args.dataset == "nuscenes":
-                s = ds.sample(i, temporal=False)
-            else:
-                s = ds.sample(i)
-            batch = build_batch([s], cfg.img_size, training=False)
+        def sample_iter():
+            for i in range(rank, n, world):
+                if args.no_temporal and args.dataset == "nuscenes":
+                    s = ds.sample(i, temporal=False)
+                else:
+                    s = ds.sample(i)
+                yield i, s, build_batch(
+                    [s], cfg.img_size, training=False
+                )
+
+        # decode/resize of sample i+1..i+2 runs in a worker thread while
+        # the device evaluates sample i (numpy/PIL release the GIL)
+        from graph_detr4d_tpu.train.trainer import PrefetchIterator
+
+        for i, s, batch in PrefetchIterator(sample_iter(), depth=2):
             run_batch(
                 {
                     "images": batch["images"],
@@ -239,6 +272,8 @@ def main():
                     s["gt_attrs"][None] if "gt_attrs" in s else None
                 ),
             )
+
+    drain_batches()
 
     # multi-host: each rank writes a partial results file, a cross-host
     # barrier syncs, then rank 0 merges and evaluates (tmpdir/gpu-collect

@@ -141,6 +141,18 @@ def main():
 
     fps6, dt6 = timed_fps(cfg6, model6, vars6, imgs6, l2i6)
 
+    if os.environ.get("BENCH_QUICK"):
+        print(
+            json.dumps(
+                {
+                    "metric": "6cam_inference_fps_640x1600_incl_decode",
+                    "value": round(fps6, 3),
+                    "quick": True,
+                }
+            )
+        )
+        return
+
     flops6 = program_flops(model6, vars6, imgs6, l2i6)
     tflops = flops6 / dt6 / 1e12
     mfu = tflops / PEAK_BF16_TFLOPS

@@ -120,20 +120,38 @@ def deform_conv2d(
         )
         return out.astype(dtype)
 
-    # shifted-concat copy: one gathered row at (y0+1, x0+1) holds all four
-    # bilinear corners; zero borders implement zero-padding sampling
-    xpad = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
-    xcat = jnp.stack(
-        [
-            xpad[:, 0 : H + 2, 0 : W + 2],
-            xpad[:, 0 : H + 2, 1 : W + 3],
-            xpad[:, 1 : H + 3, 0 : W + 2],
-            xpad[:, 1 : H + 3, 1 : W + 3],
-        ],
-        axis=-2,
-    )  # (B, H+2, W+2, 4, Cin)
+    import os as _os
+
+    variant = _os.environ.get("GRD4D_DCN_GATHER", "shift4")
     Hp, Wp = H + 2, W + 2
-    xcat = xcat.reshape(B, Hp * Wp, 4 * Cin)
+    if variant == "shift4":
+        # shifted-concat copy: one gathered row at (y0+1, x0+1) holds all
+        # four bilinear corners; zero borders implement zero-padding
+        # sampling. Rows are 4*Cin wide (2 KB at Cin=256 bf16) — in the
+        # bandwidth-capped gather regime, but with 4x fewer rows.
+        xpad = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+        xcat = jnp.stack(
+            [
+                xpad[:, 0 : H + 2, 0 : W + 2],
+                xpad[:, 0 : H + 2, 1 : W + 3],
+                xpad[:, 1 : H + 3, 0 : W + 2],
+                xpad[:, 1 : H + 3, 1 : W + 3],
+            ],
+            axis=-2,
+        )  # (B, H+2, W+2, 4, Cin)
+        xcat = xcat.reshape(B, Hp * Wp, 4 * Cin)
+    elif variant == "pair":
+        # x-pair concat (2*Cin rows, two gathers: top corners, bottom)
+        xpad = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+        xcat = jnp.concatenate(
+            [xpad[:, :, :-1], xpad[:, :, 1:]], axis=-1
+        )  # (B, H+3, W+2, 2*Cin)
+        Hp = H + 3
+        xcat = xcat.reshape(B, Hp * Wp, 2 * Cin)
+    else:  # corner4: raw padded map, four Cin-row gathers per tap
+        xcat = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).reshape(
+            B, Hp * Wp, Cin
+        )
 
     cdy = jnp.asarray([0.0, 0.0, 1.0, 1.0])
     cdx = jnp.asarray([0.0, 1.0, 0.0, 1.0])
@@ -153,13 +171,37 @@ def deform_conv2d(
         inb = (cy >= 0) & (cy < H) & (cx >= 0) & (cx < W)
         w = (w_y * w_x * inb.astype(jnp.float32)).astype(dtype)
 
-        iy = jnp.clip(y0 + 1, 0, Hp - 1)
-        ix = jnp.clip(x0 + 1, 0, Wp - 1)
-        idx = (iy * Wp + ix).astype(jnp.int32)
-        g = jnp.take_along_axis(
-            xcat, idx.reshape(B, Ho * Wo, 1), axis=1
-        ).reshape(B, Ho, Wo, 4, Cin)
-        acc = jnp.einsum("bhwc,bhwcd->bhwd", w, g)
+        if variant == "shift4":
+            iy = jnp.clip(y0 + 1, 0, Hp - 1)
+            ix = jnp.clip(x0 + 1, 0, Wp - 1)
+            idx = (iy * Wp + ix).astype(jnp.int32)
+            g = jnp.take_along_axis(
+                xcat, idx.reshape(B, Ho * Wo, 1), axis=1
+            ).reshape(B, Ho, Wo, 4, Cin)
+            acc = jnp.einsum("bhwc,bhwcd->bhwd", w, g)
+        elif variant == "pair":
+            iy = jnp.clip(y0 + 1, 0, Hp - 2)
+            ix = jnp.clip(x0 + 1, 0, Wp - 1)
+            idx = (iy * Wp + ix).astype(jnp.int32).reshape(B, Ho * Wo, 1)
+            g_top = jnp.take_along_axis(xcat, idx, axis=1).reshape(
+                B, Ho, Wo, 2, Cin
+            )
+            g_bot = jnp.take_along_axis(xcat, idx + Wp, axis=1).reshape(
+                B, Ho, Wo, 2, Cin
+            )
+            acc = jnp.einsum(
+                "bhwc,bhwcd->bhwd", w[..., :2], g_top
+            ) + jnp.einsum("bhwc,bhwcd->bhwd", w[..., 2:], g_bot)
+        else:  # corner4
+            iy = jnp.clip(cy + 1.0, 0, Hp - 1)
+            ix = jnp.clip(cx + 1.0, 0, Wp - 1)
+            idx = (iy * Wp + ix).astype(jnp.int32).reshape(B, Ho * Wo, 4)
+            acc = 0.0
+            for c in range(4):
+                g = jnp.take_along_axis(
+                    xcat, idx[..., c : c + 1], axis=1
+                ).reshape(B, Ho, Wo, Cin)
+                acc = acc + w[..., c : c + 1] * g
         cols.append(acc * mask[..., k : k + 1].astype(dtype))
     patches = jnp.stack(cols, axis=3)  # (B, Ho, Wo, K, Cin)
     out = jnp.einsum(

@@ -249,6 +249,71 @@ def _sample_level_pair(value, loc, attn):
     return out.transpose(0, 2, 1, 3)  # (B, S, nh, hd)
 
 
+def _sample_level_shift4h(value, loc, attn):
+    """Gather + weight one pyramid level as ONE row gather per sample over
+    a per-head, 4-corner-folded layout.
+
+    Combines the two measured wins: per-head contiguous tables (the 'pair'
+    lesson — interleaved heads fall off the gather fast path) AND all four
+    bilinear corners folded into a single fetched row (the 'shift4'
+    lesson — gathers are row-count-bound). Row width 4*hd stays within the
+    ~256 B fast-path window for hd=32 in bf16, so this halves the row
+    count of 'pair' at the same bytes/row cost class. Memory: 4x table
+    copies (vs pair's 2x) of one pyramid level, transient.
+
+    Args/returns identical to `_sample_level`.
+    """
+    B, H, W, nheads, hd = value.shape
+    S = loc.shape[1]
+    dtype = value.dtype
+
+    v = value.transpose(0, 3, 1, 2, 4)  # (B, nh, H, W, hd)
+    vpad = jnp.pad(v, ((0, 0), (0, 0), (1, 2), (1, 2), (0, 0)))
+    # corner order within a row: (y0x0, y0x1, y1x0, y1x1)
+    vcat = jnp.concatenate(
+        [
+            vpad[:, :, 0 : H + 2, 0 : W + 2],
+            vpad[:, :, 0 : H + 2, 1 : W + 3],
+            vpad[:, :, 1 : H + 3, 0 : W + 2],
+            vpad[:, :, 1 : H + 3, 1 : W + 3],
+        ],
+        axis=-1,
+    )  # (B, nh, H+2, W+2, 4*hd)
+    Hp, Wp = H + 2, W + 2
+    vflat = vcat.reshape(B, nheads, Hp * Wp, 4 * hd)
+
+    x = loc[..., 0].astype(jnp.float32) * W - 0.5
+    y = loc[..., 1].astype(jnp.float32) * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+
+    w_y = jnp.stack([1.0 - ly, 1.0 - ly, ly, ly], axis=-1)
+    w_x = jnp.stack([1.0 - lx, lx, 1.0 - lx, lx], axis=-1)
+    dy = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    dx = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+    cx = x0[..., None] + dx
+    cy = y0[..., None] + dy
+    inb = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+    w = (
+        w_y * w_x * inb.astype(jnp.float32)
+        * attn.astype(jnp.float32)[..., None]
+    )  # (B, S, nh, 4)
+
+    iy = jnp.clip(y0 + 1, 0, Hp - 1)
+    ix = jnp.clip(x0 + 1, 0, Wp - 1)
+    idx = (iy * Wp + ix).astype(jnp.int32)  # (B, S, nh)
+    idx = idx.transpose(0, 2, 1)  # (B, nh, S)
+    g = jnp.take_along_axis(
+        vflat, idx[..., None], axis=2
+    )  # (B, nh, S, 4*hd)
+    g = g.reshape(B, nheads, S, 4, hd)
+    wt = w.transpose(0, 2, 1, 3).astype(dtype)  # (B, nh, S, 4)
+    out = jnp.einsum("bnsc,bnsch->bnsh", wt, g)
+    return out.transpose(0, 2, 1, 3)  # (B, S, nh, hd)
+
+
 # below this pixel count a level is sampled by one-hot matmul on the MXU
 ONEHOT_MAX_PIXELS = 4200
 
@@ -277,9 +342,12 @@ def multi_scale_deformable_attention(
     impls = {
         "gather4": _sample_level,
         "shift4": _sample_level_shift4,
+        "shift4h": _sample_level_shift4h,
         "pair": _sample_level_pair,
     }
-    base = impls[impl]
+    import os as _os
+
+    base = impls[_os.environ.get("GRD4D_MSDA_IMPL", impl)]
     out = jnp.zeros((B, Q * P, nheads, hd), dtype=values[0].dtype)
     for lvl in range(L):
         loc = locations[:, :, :, lvl].transpose(0, 1, 3, 2, 4).reshape(

@@ -321,3 +321,43 @@ def test_msda_onehot_remat_grad_matches_gather(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5
         )
+
+
+def test_msda_shift4h_matches_gather4():
+    """The per-head folded-corner layout ('shift4h': one 4*hd-row gather
+    per sample) must be numerically identical to the reference 4-corner
+    gather formulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_detr4d_tpu.ops import msda
+
+    rng = np.random.RandomState(3)
+    B, nheads, hd = 2, 4, 8
+    shapes = [(13, 21), (7, 11)]
+    values = [
+        jnp.asarray(rng.randn(B, h, w, nheads, hd).astype(np.float32))
+        for h, w in shapes
+    ]
+    Q, P = 9, 3
+    L = len(shapes)
+    loc = jnp.asarray(
+        rng.uniform(-0.15, 1.15, (B, Q, nheads, L, P, 2)).astype(np.float32)
+    )
+    attn = jnp.asarray(rng.rand(B, Q, nheads, L, P).astype(np.float32))
+
+    saved = msda.ONEHOT_MAX_PIXELS
+    try:
+        msda.ONEHOT_MAX_PIXELS = 0  # force the gather path on every level
+        want = msda.multi_scale_deformable_attention(
+            values, loc, attn, impl="gather4"
+        )
+        got = msda.multi_scale_deformable_attention(
+            values, loc, attn, impl="shift4h"
+        )
+    finally:
+        msda.ONEHOT_MAX_PIXELS = saved
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )

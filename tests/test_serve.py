@@ -1,0 +1,147 @@
+"""Serving host (tools/serve.py): export a tiny artifact, start the HTTP
+server in a fresh process (no model code needed server-side beyond the
+artifact), and drive /healthz, /manifest, /infer and the client bench
+against it. Beyond-reference capability — the reference has no serving
+path (inference = re-running tools/test.py under torch/mmcv)."""
+
+import io
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+ENV = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("serve") / "export")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "export_model.py"),
+            "--tiny",
+            "--platforms",
+            "cpu",
+            "--out",
+            out_dir,
+        ],
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return out_dir
+
+
+def _start_server(artifact_dir, tmp_path):
+    ready = str(tmp_path / "ready")
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "serve.py"),
+            "--artifact",
+            artifact_dir,
+            "--port",
+            "0",
+            "--ready-file",
+            ready,
+        ],
+        env=ENV,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    deadline = time.time() + 240  # includes first-call compile
+    while not os.path.exists(ready):
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"server died: {proc.stderr.read()[-2000:]}"
+            )
+        if time.time() > deadline:
+            proc.kill()
+            raise AssertionError("server never became ready")
+        time.sleep(0.5)
+    with open(ready) as f:
+        port = int(f.read())
+    return proc, f"http://127.0.0.1:{port}"
+
+
+def test_serve_end_to_end(artifact_dir, tmp_path):
+    proc, url = _start_server(artifact_dir, tmp_path)
+    try:
+        with urllib.request.urlopen(url + "/healthz") as r:
+            health = json.load(r)
+        assert health["ok"]
+
+        with urllib.request.urlopen(url + "/manifest") as r:
+            manifest = json.load(r)
+        B, N = manifest["batch_size"], manifest["num_cams"]
+        H, W = manifest["img_size"]
+
+        rng = np.random.RandomState(0)
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            images=rng.randn(B, N, H, W, 3).astype(np.float32),
+            lidar2img=np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+        )
+        req = urllib.request.Request(
+            url + "/infer", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            resp = json.load(r)
+        assert len(resp["detections"]) == B
+        for det in resp["detections"]:
+            assert set(det) == {"bboxes", "scores", "labels"}
+            assert len(det["bboxes"]) == len(det["scores"])
+
+        # wrong shape -> 400, server keeps serving
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            images=np.zeros((B, N, H + 1, W, 3), np.float32),
+            lidar2img=np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+        )
+        req = urllib.request.Request(
+            url + "/infer", data=buf.getvalue(), method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "shape" in json.load(e)["error"]
+
+        # client bench mode against the live server
+        rb = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(TOOLS, "serve.py"),
+                "--bench",
+                url,
+                "--requests",
+                "3",
+            ],
+            env=ENV,
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        assert rb.returncode == 0, rb.stderr[-2000:]
+        stats = json.loads(rb.stdout.strip().splitlines()[-1])
+        assert stats["requests"] == 3
+        assert stats["p50_ms"] > 0
+
+        with urllib.request.urlopen(url + "/healthz") as r:
+            assert json.load(r)["served"] >= 4  # warmup + ok + 3 bench
+    finally:
+        proc.kill()
+        proc.wait()

@@ -1,0 +1,230 @@
+"""Serving host for exported artifacts (tools/export_model.py).
+
+Beyond-reference serving capability: the reference has no serving story —
+inference means re-driving the torch/mmcv Python stack (tools/test.py).
+Here a single process loads the AOT StableHLO artifact (weights embedded,
+no model code or config system) and serves it over HTTP:
+
+  POST /infer     body: .npz with 'images' (B,N,H,W,3) f32 and
+                  'lidar2img' (B,N,4,4) f32 -> JSON detections
+                  (bboxes/scores/labels per valid detection)
+  GET  /manifest  the export manifest (shapes, platforms, config name)
+  GET  /healthz   liveness + device + served-request counter
+
+Device calls are serialized behind a lock (one XLA program, one chip);
+request decode/encode runs in the HTTP thread pool, so host work overlaps
+the device (same 2-stage pipeline as tools/test.py eval).
+
+  python tools/serve.py --artifact work_dirs/export --port 8471
+  python tools/serve.py --bench http://localhost:8471 --requests 32
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--artifact", default=None, help="export dir to serve")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8471)
+    p.add_argument(
+        "--bench",
+        default=None,
+        metavar="URL",
+        help="client mode: POST synthetic requests to URL and report latency",
+    )
+    p.add_argument("--requests", type=int, default=16)
+    p.add_argument(
+        "--ready-file",
+        default=None,
+        help="write this file once the server is listening (test harness)",
+    )
+    return p.parse_args()
+
+
+class Engine:
+    """Deserialized artifact + lock-serialized device execution."""
+
+    def __init__(self, artifact_dir):
+        from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+        apply_platform_override()
+        import numpy as np
+        from jax import export
+
+        with open(os.path.join(artifact_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(artifact_dir, "model.jaxexport"), "rb") as f:
+            self.exported = export.deserialize(f.read())
+        self._lock = threading.Lock()
+        self.served = 0
+        self._np = np
+        # warm: compile happens on the first call
+        m = self.manifest
+        B, N = m["batch_size"], m["num_cams"]
+        H, W = m["img_size"]
+        self.infer(
+            np.zeros((B, N, H, W, 3), np.float32),
+            np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+        )
+
+    def infer(self, images, lidar2img):
+        np = self._np
+        with self._lock:
+            out = self.exported.call(images, lidar2img)
+            det = {k: np.asarray(v) for k, v in out.items()}
+            self.served += 1
+        return det
+
+
+def make_handler(engine):
+    from http.server import BaseHTTPRequestHandler
+
+    np = engine._np
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(
+                    200, {"ok": True, "served": engine.served}
+                )
+            elif self.path == "/manifest":
+                self._send(200, engine.manifest)
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/infer":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                data = np.load(io.BytesIO(self.rfile.read(n)))
+                images = np.asarray(data["images"], np.float32)
+                l2i = np.asarray(data["lidar2img"], np.float32)
+                want_i = tuple(engine.manifest["inputs"]["images"][0])
+                if images.shape != want_i:
+                    self._send(
+                        400,
+                        {
+                            "error": f"images shape {list(images.shape)} != "
+                            f"artifact shape {list(want_i)}"
+                        },
+                    )
+                    return
+                det = engine.infer(images, l2i)
+                out = []
+                for b in range(det["bboxes"].shape[0]):
+                    keep = det["valid"][b].astype(bool)
+                    out.append(
+                        {
+                            "bboxes": det["bboxes"][b][keep].tolist(),
+                            "scores": det["scores"][b][keep].tolist(),
+                            "labels": det["labels"][b][keep].tolist(),
+                        }
+                    )
+                self._send(200, {"detections": out})
+            except Exception as e:  # surface to the client, keep serving
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return Handler
+
+
+def run_server(args):
+    from http.server import ThreadingHTTPServer
+
+    engine = Engine(args.artifact)
+    srv = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(engine)
+    )
+    print(
+        json.dumps(
+            {
+                "serving": f"http://{args.host}:{srv.server_address[1]}",
+                "artifact": args.artifact,
+                "config": engine.manifest.get("config"),
+            }
+        ),
+        flush=True,
+    )
+    if args.ready_file:
+        with open(args.ready_file, "w") as f:
+            f.write(str(srv.server_address[1]))
+    srv.serve_forever()
+
+
+def run_bench(args):
+    import urllib.request
+
+    import numpy as np
+
+    with urllib.request.urlopen(args.bench + "/manifest") as r:
+        manifest = json.load(r)
+    B, N = manifest["batch_size"], manifest["num_cams"]
+    H, W = manifest["img_size"]
+    rng = np.random.RandomState(0)
+    lat = []
+    for i in range(args.requests):
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            images=rng.randn(B, N, H, W, 3).astype(np.float32),
+            lidar2img=np.tile(
+                np.eye(4, dtype=np.float32), (B, N, 1, 1)
+            ),
+        )
+        body = buf.getvalue()
+        t0 = time.perf_counter()
+        req = urllib.request.Request(
+            args.bench + "/infer", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            resp = json.load(r)
+        lat.append(time.perf_counter() - t0)
+        assert "detections" in resp, resp
+    lat_ms = sorted(x * 1e3 for x in lat)
+    n = len(lat_ms)
+    print(
+        json.dumps(
+            {
+                "requests": n,
+                "p50_ms": round(lat_ms[n // 2], 1),
+                "p90_ms": round(lat_ms[min(n - 1, int(n * 0.9))], 1),
+                "mean_ms": round(sum(lat_ms) / n, 1),
+                "throughput_rps": round(n / sum(lat), 2),
+            }
+        )
+    )
+
+
+def main():
+    args = parse_args()
+    if args.bench:
+        run_bench(args)
+    else:
+        if not args.artifact:
+            raise SystemExit("--artifact or --bench required")
+        run_server(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -182,6 +182,67 @@ def main():
     except Exception as e:  # report rather than fail the whole bench
         extras["fps_12cam"] = None
         extras["fps_12cam_error"] = type(e).__name__
+
+    # streaming temporal serving: per step only the 6 current cams run
+    # the backbone; the sweep half comes from the previous step's cached
+    # features (models/detector.py forward_feats — exact, the backbone
+    # is per-camera). This is the live-stream deployment mode of the 4D
+    # model; the reference recomputes all 12 every call.
+    try:
+        from graph_detr4d_tpu.models import GraphDETR4D as _G
+
+        nf = cfg12.head.num_frame_cams
+        imgs6 = imgs12[:, :nf]
+
+        @jax.jit
+        def sstep(variables, images, lidar2img, prev_feats, carry):
+            cur = model12.apply(
+                variables,
+                images + carry * 1e-12,
+                False,
+                None,
+                method=_G.extract_feats,
+            )
+            feats = [
+                jnp.concatenate([c, p], axis=1)
+                for c, p in zip(cur, prev_feats)
+            ]
+            out = model12.apply(
+                variables, feats, lidar2img, method=_G.forward_feats
+            )
+            det = decode_batch(
+                out,
+                max_num=cfg12.coder.max_num,
+                post_center_range=cfg12.coder.post_center_range,
+            )
+            s = (
+                det.bboxes.sum()
+                + det.scores.sum()
+                + det.valid.sum().astype(jnp.float32)
+            )
+            return s, cur
+
+        prev = jax.jit(
+            lambda v, im: model12.apply(
+                v, im, False, None, method=_G.extract_feats
+            )
+        )(vars12, imgs12[:, nf:])
+        carry, prev = sstep(vars12, imgs6, l2i12, prev, jnp.float32(0.0))
+        float(carry)
+        for _ in range(3):
+            carry, prev = sstep(vars12, imgs6, l2i12, prev, carry)
+        float(carry)
+        t0 = time.perf_counter()
+        iters = 15
+        for _ in range(iters):
+            carry, prev = sstep(vars12, imgs6, l2i12, prev, carry)
+        float(carry)
+        extras["fps_12cam_streaming"] = round(
+            iters / (time.perf_counter() - t0), 3
+        )
+    except Exception as e:
+        extras["fps_12cam_streaming"] = None
+        extras["fps_12cam_streaming_error"] = type(e).__name__
     try:
         cfgb, modelb, varsb, imgsb, l2ib = build(6, batch_size=4)
         fpsb, _ = timed_fps(cfgb, modelb, varsb, imgsb, l2ib, iters=15)

@@ -410,6 +410,14 @@ class DistillBundle:
     feat_mode: str = "vanilla"  # 'vanilla' | 'attention'
     reweight_score: bool = False
     mix: bool = False  # MixDistill teacher-query guided decode
+    # TPU-native default: cap soft-GT rows to the top-K teacher queries
+    # by max sigmoid score. The reference matches all Qt=900 rows via
+    # scipy on CPU (detr4d_distiller.py:143-168); the on-device JV at
+    # K=900 measures 20.4 s/step vs 0.50 s at K=32 (PROFILE.md) — a 40x
+    # difference for rows that are overwhelmingly near-zero-score
+    # padding. None = full rows (exact reference parity); CLI
+    # --teacher-top-k overrides.
+    teacher_top_k: Optional[int] = 64
 
 
 _DISTILL: Dict[str, Callable[[], DistillBundle]] = {}

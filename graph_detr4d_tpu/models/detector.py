@@ -126,18 +126,29 @@ class GraphDETR4D(nn.Module):
         ]
         return self.head(mean_feats, lidar2img, deterministic=True)
 
-    def __call__(
+    def forward_feats(
         self,
-        images: jnp.ndarray,  # (B, N, H, W, 3) normalized
+        feats,  # L x (B, N, h, w, C) precomputed camera features
         lidar2img: jnp.ndarray,  # (B, N, 4, 4)
         train: bool = False,
-        rng: Optional[jax.Array] = None,
         depth_factors: Optional[jnp.ndarray] = None,
         mean_time_stamp: Optional[jnp.ndarray] = None,  # PETRv2 (B,)
         intrinsics: Optional[jnp.ndarray] = None,  # (B, N, 4, 4) cam_aware
         ida_scale: Optional[jnp.ndarray] = None,  # (B, N) cam_aware
     ):
-        feats = self.extract_feats(images, train, rng)
+        """Head-only forward over precomputed features.
+
+        Streaming temporal inference: the 4D model's camera axis is
+        [current 6 cams | sweep 6 cams] (data/nuscenes.py sample():
+        sweeps append after the current frame). On a live stream the
+        sweep frame's backbone features were already computed when that
+        frame was current, so a server caches `extract_feats` of each
+        frame and runs this on the concat — skipping half the backbone
+        work. Exact: the backbone is per-camera (folded batch, frozen
+        BN), so features computed at t-1 equal recomputing them at t
+        (up to conv-scheduling float noise across batch sizes). The reference has no equivalent (its
+        forward is monolithic, detr3d.py:62-66 recomputes all 12 every
+        call)."""
         if self.cfg.head_type in ("petr", "petrv2", "petr_seg"):
             return self.head(
                 feats,
@@ -150,6 +161,28 @@ class GraphDETR4D(nn.Module):
             lidar2img,
             deterministic=not train,
             depth_factors=depth_factors,
+            intrinsics=intrinsics,
+            ida_scale=ida_scale,
+        )
+
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, N, H, W, 3) normalized
+        lidar2img: jnp.ndarray,  # (B, N, 4, 4)
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        depth_factors: Optional[jnp.ndarray] = None,
+        mean_time_stamp: Optional[jnp.ndarray] = None,  # PETRv2 (B,)
+        intrinsics: Optional[jnp.ndarray] = None,  # (B, N, 4, 4) cam_aware
+        ida_scale: Optional[jnp.ndarray] = None,  # (B, N) cam_aware
+    ):
+        feats = self.extract_feats(images, train, rng)
+        return self.forward_feats(
+            feats,
+            lidar2img,
+            train=train,
+            depth_factors=depth_factors,
+            mean_time_stamp=mean_time_stamp,
             intrinsics=intrinsics,
             ida_scale=ida_scale,
         )

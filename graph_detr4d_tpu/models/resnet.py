@@ -63,6 +63,10 @@ class DeformConv(nn.Module):
 
 
 class BasicBlock(nn.Module):
+    # use_dcn is accepted but ignored: mmdet's BasicBlock asserts
+    # `dcn is None` ("Not implemented yet"), and the reference's r18/r34
+    # configs keep DCN commented out accordingly
+    # (configs/detr4d/detr4d_res18_deform_pe_testaug_320_2subset.py:40-41).
     features: int
     stride: int = 1
     use_dcn: bool = False

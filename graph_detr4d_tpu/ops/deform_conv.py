@@ -123,13 +123,50 @@ def deform_conv2d(
     import os as _os
 
     variant = _os.environ.get("GRD4D_DCN_GATHER", "shift4")
+    if variant == "int8":
+        return _deform_conv_int8(
+            x, offsets, mask, weight, stride, padding, kernel_size
+        )
+    return _deform_conv_gather(
+        x, offsets, mask, weight, stride, padding, kernel_size, variant
+    )
+
+
+def _deform_conv_gather(
+    x, offsets, mask, weight, stride, padding, kernel_size, variant
+):
+    """Large-grid tap sampling via XLA gathers (see variant notes)."""
+    B, H, W, Cin = x.shape
+    K = kernel_size * kernel_size
+    Ho = (H + 2 * padding - kernel_size) // stride + 1
+    Wo = (W + 2 * padding - kernel_size) // stride + 1
+    dtype = x.dtype
+    ys = jnp.arange(Ho, dtype=jnp.float32) * stride - padding
+    xs = jnp.arange(Wo, dtype=jnp.float32) * stride - padding
+    base_y = ys[:, None]  # (Ho, 1)
+    base_x = xs[None, :]  # (1, Wo)
     Hp, Wp = H + 2, W + 2
-    if variant == "shift4":
+    dequant = None
+    if variant in ("shift4", "int8"):
         # shifted-concat copy: one gathered row at (y0+1, x0+1) holds all
         # four bilinear corners; zero borders implement zero-padding
         # sampling. Rows are 4*Cin wide (2 KB at Cin=256 bf16) — in the
         # bandwidth-capped gather regime, but with 4x fewer rows.
-        xpad = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+        # 'int8' is the same layout with the table quantized to int8 at
+        # per-(batch, channel) amax scales: rows go 2 KB -> 1 KB,
+        # halving the bandwidth-bound gather traffic (PROFILE.md
+        # roofline); values dequantize after the gather. Worst-case
+        # per-element quantization error is amax/254 (~0.4% of channel
+        # range); opt-in for serving via GRD4D_DCN_GATHER=int8.
+        src = x
+        if variant == "int8":
+            xf = x.astype(jnp.float32)  # quantize in f32 even under bf16
+            s = jnp.max(jnp.abs(xf), axis=(1, 2)) + 1e-12  # (B, Cin)
+            src = jnp.round(xf * (127.0 / s)[:, None, None, :]).astype(
+                jnp.int8
+            )
+            dequant = (s / 127.0).astype(dtype)
+        xpad = jnp.pad(src, ((0, 0), (1, 2), (1, 2), (0, 0)))
         xcat = jnp.stack(
             [
                 xpad[:, 0 : H + 2, 0 : W + 2],
@@ -171,13 +208,15 @@ def deform_conv2d(
         inb = (cy >= 0) & (cy < H) & (cx >= 0) & (cx < W)
         w = (w_y * w_x * inb.astype(jnp.float32)).astype(dtype)
 
-        if variant == "shift4":
+        if variant in ("shift4", "int8"):
             iy = jnp.clip(y0 + 1, 0, Hp - 1)
             ix = jnp.clip(x0 + 1, 0, Wp - 1)
             idx = (iy * Wp + ix).astype(jnp.int32)
             g = jnp.take_along_axis(
                 xcat, idx.reshape(B, Ho * Wo, 1), axis=1
             ).reshape(B, Ho, Wo, 4, Cin)
+            if dequant is not None:
+                g = g.astype(dtype) * dequant[:, None, None, None, :]
             acc = jnp.einsum("bhwc,bhwcd->bhwd", w, g)
         elif variant == "pair":
             iy = jnp.clip(y0 + 1, 0, Hp - 2)
@@ -211,3 +250,45 @@ def deform_conv2d(
         preferred_element_type=jnp.float32,
     )
     return out.astype(dtype)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _deform_conv_int8(x, offsets, mask, weight, stride, padding, kernel_size):
+    """int8-table gather forward with a straight-through backward.
+
+    The int8 round/cast is non-differentiable (and a gather of an int8
+    array carries no tangent), so the backward pass is the exact vjp of
+    the bf16 'shift4' formulation — the standard straight-through
+    estimator. The int8 path is an opt-in serving optimization; training
+    through it stays correct-to-STE rather than silently dropping the
+    input gradient."""
+    return _deform_conv_gather(
+        x, offsets, mask, weight, stride, padding, kernel_size, "int8"
+    )
+
+
+def _int8_fwd(x, offsets, mask, weight, stride, padding, kernel_size):
+    out = _deform_conv_gather(
+        x, offsets, mask, weight, stride, padding, kernel_size, "int8"
+    )
+    return out, (x, offsets, mask, weight)
+
+
+def _int8_bwd(stride, padding, kernel_size, res, g):
+    x, offsets, mask, weight = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: _deform_conv_gather(
+            a, b, c, d, stride, padding, kernel_size, "shift4"
+        ),
+        x,
+        offsets,
+        mask,
+        weight,
+    )
+    return vjp(g)
+
+
+_deform_conv_int8.defvjp(_int8_fwd, _int8_bwd)

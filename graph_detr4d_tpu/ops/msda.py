@@ -322,7 +322,9 @@ def multi_scale_deformable_attention(
     values: Sequence[jnp.ndarray],
     locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
-    impl: str = "pair",
+    impl: str = "shift4h",  # fastest measured on chip: 9.34/9.33 fps vs
+    # 9.32/9.30 for 'pair' across two A/B rounds (PROFILE.md); override
+    # per-call or via GRD4D_MSDA_IMPL
 ) -> jnp.ndarray:
     """Multi-scale deformable attention over a feature pyramid.
 

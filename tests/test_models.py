@@ -345,3 +345,43 @@ def test_resnet_remat_matches_plain():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6
         )
+
+
+def test_streaming_feats_forward_exact(model_and_vars):
+    """forward_feats over [current-frame feats | cached sweep-frame feats]
+    must reproduce the monolithic forward: the backbone is per-camera
+    (folded batch, frozen BN), so features computed for a frame when it
+    was current equal recomputing them as the sweep half later, up to
+    conv-scheduling float noise across batch sizes (~2e-5 on CPU). This is the streaming temporal serving mode
+    (cache extract_feats per frame, halve backbone work); the reference
+    recomputes all cameras every call (detr3d.py:62-66)."""
+    model, variables, imgs, l2i = model_and_vars
+    nf = CFG.head.num_frame_cams
+
+    want = model.apply(variables, imgs, l2i)
+
+    feats_cur = model.apply(
+        variables,
+        imgs[:, :nf],
+        False,
+        None,
+        method=GraphDETR4D.extract_feats,
+    )
+    feats_prev = model.apply(
+        variables,
+        imgs[:, nf:],
+        False,
+        None,
+        method=GraphDETR4D.extract_feats,
+    )
+    feats = [
+        jnp.concatenate([c, p], axis=1)
+        for c, p in zip(feats_cur, feats_prev)
+    ]
+    got = model.apply(
+        variables, feats, l2i, method=GraphDETR4D.forward_feats
+    )
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-4, atol=1e-4
+        )

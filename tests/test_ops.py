@@ -361,3 +361,46 @@ def test_msda_shift4h_matches_gather4():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_dcn_int8_gather_close_and_ste_grad(monkeypatch):
+    """GRD4D_DCN_GATHER=int8: same folded-corner gather as 'shift4' with
+    the table quantized to int8 at per-(batch, channel) amax scales.
+    Forward must track the exact path within quantization error (rows
+    carry values rounded to amax/127 steps); backward is defined as the
+    straight-through vjp of the bf16 'shift4' path and must match it
+    exactly."""
+    from graph_detr4d_tpu.ops import deform_conv as dc
+
+    rng = np.random.RandomState(11)
+    B, H, W, Cin, Cout, K = 2, 10, 14, 8, 6, 9
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    off = jnp.asarray(rng.randn(B, H, W, K, 2) * 3.0, jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, K), jnp.float32)
+    w = jnp.asarray(rng.randn(K, Cin, Cout), jnp.float32)
+
+    monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 0)
+    exact = dc.deform_conv2d(x, off, mask, w, stride=1, padding=1)
+    monkeypatch.setenv("GRD4D_DCN_GATHER", "int8")
+    got = dc.deform_conv2d(x, off, mask, w, stride=1, padding=1)
+
+    exact_np, got_np = np.asarray(exact), np.asarray(got)
+    # per-element error bound: sum over K*4 corners of Cin channels each
+    # contributing <= amax/254 * |w|; loose empirical bound below
+    err = np.abs(got_np - exact_np)
+    assert err.max() < 0.2, err.max()
+    denom = np.abs(exact_np).mean()
+    assert err.mean() / denom < 0.01, (err.mean(), denom)
+    corr = np.corrcoef(got_np.ravel(), exact_np.ravel())[0, 1]
+    assert corr > 0.9995, corr
+
+    def loss_int8(x, off, mask, w):
+        return dc.deform_conv2d(x, off, mask, w, stride=1, padding=1).sum()
+
+    g_int8 = jax.grad(loss_int8, argnums=(0, 1, 2, 3))(x, off, mask, w)
+    monkeypatch.delenv("GRD4D_DCN_GATHER")
+    g_fp = jax.grad(loss_int8, argnums=(0, 1, 2, 3))(x, off, mask, w)
+    for a, b in zip(g_int8, g_fp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )

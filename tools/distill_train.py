@@ -35,9 +35,11 @@ def parse_args():
     p.add_argument(
         "--teacher-top-k",
         type=int,
-        default=None,
+        default=-1,
         help="cap instance-distill soft GT to top-K teacher queries "
-        "(on-device matching cost ~K^2; default: all = reference parity)",
+        "(on-device matching cost ~K^2). -1 = config default (64, "
+        "20.4s -> 0.5s/step on chip); 0 = all rows (exact reference "
+        "parity, slow on device)",
     )
     return p.parse_args()
 
@@ -85,7 +87,11 @@ def main():
         feat_distill_kind=bundle.feat_mode,
         reweight_score=bundle.reweight_score,
         mix=bundle.mix,
-        teacher_top_k=args.teacher_top_k,
+        teacher_top_k=(
+            bundle.teacher_top_k
+            if args.teacher_top_k < 0
+            else (args.teacher_top_k or None)
+        ),
     )
 
     teacher = GraphDETR4D(t_cfg)

@@ -92,3 +92,38 @@ def test_export_cli_and_run(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     line = json.loads(r2.stdout.strip().splitlines()[-1])
     assert line["artifact"] == out_dir
+
+
+def test_export_streaming_cli(tmp_path):
+    """--streaming exports encode+head programs whose composition the
+    CLI itself verifies against monolithic inference (printed marker);
+    the manifest carries the feature-cache contract for the server."""
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    out_dir = str(tmp_path / "stream_export")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "export_model.py"),
+            "--tiny",
+            "--streaming",
+            "--platforms",
+            "cpu",
+            "--out",
+            out_dir,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "streaming encode+head composition matches" in r.stdout
+    assert os.path.exists(os.path.join(out_dir, "encode.jaxexport"))
+    assert os.path.exists(os.path.join(out_dir, "head.jaxexport"))
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    s = manifest["streaming"]
+    assert s["num_frame_cams"] * 2 == manifest["num_cams"]
+    assert len(s["feat_keys"]) == len(s["feat_shapes"])
+    # per-level feature shapes carry num_frame_cams on the camera axis
+    assert all(fs[1] == s["num_frame_cams"] for fs in s["feat_shapes"])

@@ -145,3 +145,95 @@ def test_serve_end_to_end(artifact_dir, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+@pytest.fixture(scope="module")
+def streaming_artifact_dir(tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("serve_stream") / "export")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "export_model.py"),
+            "--tiny",
+            "--streaming",
+            "--platforms",
+            "cpu",
+            "--out",
+            out_dir,
+        ],
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return out_dir
+
+
+def test_serve_streaming(streaming_artifact_dir, tmp_path):
+    """Streaming serving: /infer_stream caches the previous frame's
+    features server-side (first request bootstraps from the new frame),
+    /infer still works by encoding both halves, /reset_stream drops the
+    cache. The second streamed request must differ from the first (prev
+    features now come from the cache, not the duplicated new frame)."""
+    proc, url = _start_server(streaming_artifact_dir, tmp_path)
+    try:
+        with urllib.request.urlopen(url + "/manifest") as r:
+            manifest = json.load(r)
+        s = manifest["streaming"]
+        B, N = manifest["batch_size"], manifest["num_cams"]
+        nf = s["num_frame_cams"]
+        H, W = manifest["img_size"]
+        rng = np.random.RandomState(0)
+        l2i = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+
+        def post(route, images):
+            buf = io.BytesIO()
+            np.savez(buf, images=images, lidar2img=l2i)
+            req = urllib.request.Request(
+                url + route, data=buf.getvalue(), method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.load(r)
+
+        frame_a = rng.randn(B, nf, H, W, 3).astype(np.float32)
+        frame_b = rng.randn(B, nf, H, W, 3).astype(np.float32)
+
+        # bootstrap: prev := frame_a, so this equals monolithic on
+        # images [a | a]
+        got_a = post("/infer_stream", frame_a)
+        mono_aa = post("/infer", np.concatenate([frame_a, frame_a], 1))
+        np.testing.assert_allclose(
+            np.asarray(got_a["detections"][0]["bboxes"]),
+            np.asarray(mono_aa["detections"][0]["bboxes"]),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+        # second frame uses cached frame_a features == monolithic [b | a]
+        got_b = post("/infer_stream", frame_b)
+        mono_ba = post("/infer", np.concatenate([frame_b, frame_a], 1))
+        np.testing.assert_allclose(
+            np.asarray(got_b["detections"][0]["bboxes"]),
+            np.asarray(mono_ba["detections"][0]["bboxes"]),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+        # reset, then frame_b bootstraps fresh == monolithic [b | b]
+        req = urllib.request.Request(
+            url + "/reset_stream", data=b"", method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.load(r)["reset"] is True
+        got_b2 = post("/infer_stream", frame_b)
+        mono_bb = post("/infer", np.concatenate([frame_b, frame_b], 1))
+        np.testing.assert_allclose(
+            np.asarray(got_b2["detections"][0]["bboxes"]),
+            np.asarray(mono_bb["detections"][0]["bboxes"]),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+    finally:
+        proc.kill()
+        proc.wait()

@@ -38,6 +38,15 @@ def parse_args():
     )
     p.add_argument("--out", default="work_dirs/export")
     p.add_argument(
+        "--streaming",
+        action="store_true",
+        help="export the temporal model as TWO programs — encode "
+        "(current-frame cams -> FPN features) and head (cur+cached "
+        "prev features -> detections) — so a video-stream server "
+        "reuses the previous frame's features and skips half the "
+        "backbone work (models/detector.py forward_feats)",
+    )
+    p.add_argument(
         "--no-verify",
         action="store_true",
         help="skip the deserialize+run-and-compare check after export",
@@ -148,15 +157,7 @@ def main():
         }
 
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
-    exp = export.export(jax.jit(infer), platforms=platforms)(
-        jax.ShapeDtypeStruct(imgs.shape, imgs.dtype),
-        jax.ShapeDtypeStruct(l2i.shape, l2i.dtype),
-    )
-    blob = exp.serialize()
-
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "model.jaxexport"), "wb") as f:
-        f.write(blob)
     manifest = {
         "config": cfg_name,
         "batch_size": args.batch_size,
@@ -168,8 +169,118 @@ def main():
             "lidar2img": [list(l2i.shape), str(l2i.dtype)],
         },
         "outputs": ["bboxes", "scores", "labels", "valid"],
-        "size_bytes": len(blob),
     }
+
+    if args.streaming:
+        nf = cfg.head.num_frame_cams
+        if cfg.head.num_cams != 2 * nf:
+            raise SystemExit(
+                "--streaming needs num_cams == 2*num_frame_cams "
+                f"(one cached sweep frame); got {cfg.head.num_cams} "
+                f"vs num_frame_cams={nf}"
+            )
+
+        def encode(images):
+            feats = model.apply(
+                variables,
+                images,
+                False,
+                None,
+                method=GraphDETR4D.extract_feats,
+            )
+            return {f"feat{i}": f for i, f in enumerate(feats)}
+
+        def head_infer(lidar2img, *feats):  # L current, then L cached prev
+            L = len(feats) // 2
+            merged = [
+                jnp.concatenate([c, p], axis=1)
+                for c, p in zip(feats[:L], feats[L:])
+            ]
+            out = model.apply(
+                variables,
+                merged,
+                lidar2img,
+                method=GraphDETR4D.forward_feats,
+            )
+            det = decode_batch(
+                out,
+                max_num=cfg.coder.max_num,
+                post_center_range=cfg.coder.post_center_range,
+            )
+            return {
+                "bboxes": det.bboxes,
+                "scores": det.scores,
+                "labels": det.labels,
+                "valid": det.valid,
+            }
+
+        imgs6 = jax.ShapeDtypeStruct(
+            (args.batch_size, nf) + imgs.shape[2:], imgs.dtype
+        )
+        enc_exp = export.export(jax.jit(encode), platforms=platforms)(imgs6)
+        feat_shapes = jax.eval_shape(encode, imgs6)
+        feat_keys = sorted(feat_shapes, key=lambda k: int(k[4:]))
+        feat_sds = [
+            jax.ShapeDtypeStruct(feat_shapes[k].shape, feat_shapes[k].dtype)
+            for k in feat_keys
+        ]
+        head_exp = export.export(jax.jit(head_infer), platforms=platforms)(
+            jax.ShapeDtypeStruct(l2i.shape, l2i.dtype),
+            *(feat_sds + feat_sds),
+        )
+        enc_blob, head_blob = enc_exp.serialize(), head_exp.serialize()
+        with open(os.path.join(args.out, "encode.jaxexport"), "wb") as f:
+            f.write(enc_blob)
+        with open(os.path.join(args.out, "head.jaxexport"), "wb") as f:
+            f.write(head_blob)
+        manifest["streaming"] = {
+            "num_frame_cams": nf,
+            "feat_keys": feat_keys,
+            "feat_shapes": [list(s.shape) for s in feat_sds],
+            "feat_dtype": str(feat_sds[0].dtype),
+        }
+        manifest["size_bytes"] = len(enc_blob) + len(head_blob)
+        with open(os.path.join(args.out, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        print(json.dumps({"exported": args.out, **manifest}))
+
+        if not args.no_verify:
+            e2 = export.deserialize(enc_blob)
+            h2 = export.deserialize(head_blob)
+            cur = e2.call(imgs[:, :nf])
+            prev = e2.call(imgs[:, nf:])
+            got = h2.call(
+                l2i,
+                *[cur[k] for k in feat_keys],
+                *[prev[k] for k in feat_keys],
+            )
+            want = jax.jit(infer)(imgs, l2i)
+            # conv batch-fold size differs (nf vs 2*nf), so scheduling
+            # float noise is expected; bf16 models see more of it
+            tol = 5e-2 if cfg.bf16 else 1e-4
+            for k in want:
+                np.testing.assert_allclose(
+                    np.asarray(got[k], np.float32),
+                    np.asarray(want[k], np.float32),
+                    rtol=tol,
+                    atol=tol,
+                    err_msg=k,
+                )
+            print(
+                "verify: streaming encode+head composition matches "
+                "monolithic inference"
+            )
+        return
+
+    exp = export.export(jax.jit(infer), platforms=platforms)(
+        jax.ShapeDtypeStruct(imgs.shape, imgs.dtype),
+        jax.ShapeDtypeStruct(l2i.shape, l2i.dtype),
+    )
+    blob = exp.serialize()
+
+    with open(os.path.join(args.out, "model.jaxexport"), "wb") as f:
+        f.write(blob)
+    manifest["size_bytes"] = len(blob)
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     print(json.dumps({"exported": args.out, **manifest}))

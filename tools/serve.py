@@ -8,6 +8,17 @@ no model code or config system) and serves it over HTTP:
   POST /infer     body: .npz with 'images' (B,N,H,W,3) f32 and
                   'lidar2img' (B,N,4,4) f32 -> JSON detections
                   (bboxes/scores/labels per valid detection)
+  POST /infer_stream?stream=ID   streaming artifacts only: 'images' is
+                  the NEW frame's cams (B, num_frame_cams, H, W, 3);
+                  the previous frame's FPN features are cached per
+                  stream id as device arrays, so only the new cams run
+                  the backbone (~halves the per-frame compute of the
+                  temporal model). 'lidar2img' stays (B, num_cams, 4, 4)
+                  — current cams then the cached frame's cams in the
+                  current lidar frame. First request bootstraps the
+                  cache with the new frame (loader parity for missing
+                  sweeps).
+  POST /reset_stream?stream=ID   drop a stream's cached features
   GET  /manifest  the export manifest (shapes, platforms, config name)
   GET  /healthz   liveness + device + served-request counter
 
@@ -51,7 +62,15 @@ def parse_args():
 
 
 class Engine:
-    """Deserialized artifact + lock-serialized device execution."""
+    """Deserialized artifact + lock-serialized device execution.
+
+    Streaming artifacts (export_model.py --streaming) hold two programs:
+    encode (current cams -> FPN features) and head (cur + cached prev
+    features -> detections). infer_stream() keeps the previous frame's
+    features per stream id as DEVICE arrays — they never cross the HTTP
+    boundary — so each video-stream request runs the backbone on only
+    the new frame (models/detector.py forward_feats; the reference
+    recomputes every camera every call)."""
 
     def __init__(self, artifact_dir):
         from graph_detr4d_tpu.utils.platform import apply_platform_override
@@ -62,27 +81,87 @@ class Engine:
 
         with open(os.path.join(artifact_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
-        with open(os.path.join(artifact_dir, "model.jaxexport"), "rb") as f:
-            self.exported = export.deserialize(f.read())
         self._lock = threading.Lock()
         self.served = 0
         self._np = np
-        # warm: compile happens on the first call
         m = self.manifest
         B, N = m["batch_size"], m["num_cams"]
         H, W = m["img_size"]
-        self.infer(
-            np.zeros((B, N, H, W, 3), np.float32),
-            np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
-        )
+        self.streaming = m.get("streaming")
+        if self.streaming:
+            with open(
+                os.path.join(artifact_dir, "encode.jaxexport"), "rb"
+            ) as f:
+                self.encode = export.deserialize(f.read())
+            with open(
+                os.path.join(artifact_dir, "head.jaxexport"), "rb"
+            ) as f:
+                self.head = export.deserialize(f.read())
+            self._cache = {}  # stream id -> list of device feat arrays
+            nf = self.streaming["num_frame_cams"]
+            # warm both programs
+            self.infer_stream(
+                np.zeros((B, nf, H, W, 3), np.float32),
+                np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+                stream="_warmup",
+            )
+            del self._cache["_warmup"]
+        else:
+            with open(
+                os.path.join(artifact_dir, "model.jaxexport"), "rb"
+            ) as f:
+                self.exported = export.deserialize(f.read())
+            # warm: compile happens on the first call
+            self.infer(
+                np.zeros((B, N, H, W, 3), np.float32),
+                np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+            )
 
     def infer(self, images, lidar2img):
         np = self._np
+        if self.streaming:
+            # monolithic request against a streaming artifact: encode
+            # both frame halves, no cache involvement
+            nf = self.streaming["num_frame_cams"]
+            keys = self.streaming["feat_keys"]
+            with self._lock:
+                cur = self.encode.call(images[:, :nf])
+                prev = self.encode.call(images[:, nf:])
+                out = self.head.call(
+                    lidar2img,
+                    *[cur[k] for k in keys],
+                    *[prev[k] for k in keys],
+                )
+                det = {k: np.asarray(v) for k, v in out.items()}
+                self.served += 1
+            return det
         with self._lock:
             out = self.exported.call(images, lidar2img)
             det = {k: np.asarray(v) for k, v in out.items()}
             self.served += 1
         return det
+
+    def infer_stream(self, images, lidar2img, stream="default"):
+        """images: (B, num_frame_cams, H, W, 3) — the NEW frame only.
+        lidar2img: (B, num_cams, 4, 4) — current cams first, then the
+        cached frame's cams mapped into the current lidar frame. On the
+        first request of a stream the new frame doubles as the sweep
+        (same behavior as the data loader when no sweeps exist)."""
+        np = self._np
+        keys = self.streaming["feat_keys"]
+        with self._lock:
+            cur = self.encode.call(images)
+            cur_list = [cur[k] for k in keys]
+            prev_list = self._cache.get(stream, cur_list)
+            out = self.head.call(lidar2img, *cur_list, *prev_list)
+            det = {k: np.asarray(v) for k, v in out.items()}
+            self._cache[stream] = cur_list
+            self.served += 1
+        return det
+
+    def reset_stream(self, stream="default"):
+        with self._lock:
+            return self._cache.pop(stream, None) is not None
 
 
 def make_handler(engine):
@@ -110,8 +189,31 @@ def make_handler(engine):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/infer":
+            from urllib.parse import urlparse, parse_qs
+
+            parsed = urlparse(self.path)
+            route = parsed.path
+            qs = parse_qs(parsed.query)
+            stream = qs.get("stream", ["default"])[0]
+            if route == "/reset_stream":
+                if not engine.streaming:
+                    self._send(400, {"error": "not a streaming artifact"})
+                    return
+                self._send(
+                    200, {"reset": engine.reset_stream(stream)}
+                )
+                return
+            if route not in ("/infer", "/infer_stream"):
                 self._send(404, {"error": "unknown path"})
+                return
+            if route == "/infer_stream" and not engine.streaming:
+                self._send(
+                    400,
+                    {
+                        "error": "not a streaming artifact; export with "
+                        "--streaming"
+                    },
+                )
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
@@ -119,6 +221,12 @@ def make_handler(engine):
                 images = np.asarray(data["images"], np.float32)
                 l2i = np.asarray(data["lidar2img"], np.float32)
                 want_i = tuple(engine.manifest["inputs"]["images"][0])
+                if route == "/infer_stream":
+                    s = engine.streaming
+                    want_i = (
+                        want_i[0],
+                        s["num_frame_cams"],
+                    ) + want_i[2:]
                 if images.shape != want_i:
                     self._send(
                         400,
@@ -128,7 +236,10 @@ def make_handler(engine):
                         },
                     )
                     return
-                det = engine.infer(images, l2i)
+                if route == "/infer_stream":
+                    det = engine.infer_stream(images, l2i, stream=stream)
+                else:
+                    det = engine.infer(images, l2i)
                 out = []
                 for b in range(det["bboxes"].shape[0]):
                     keep = det["valid"][b].astype(bool)

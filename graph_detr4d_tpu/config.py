@@ -105,6 +105,17 @@ class HeadConfig:
     # the positional-MLP input (:331-334, Linear(4) at :105)
     fix_offset: bool = False
     depth_encode: bool = False
+    # PETR/PETRv2/PETR-seg head options. Class defaults in the reference
+    # are LID=False / (-65, -65, -8, 65, 65, 8) (petr_head.py:107, 177)
+    # but EVERY shipped petr config overrides them to LID=True and
+    # [-61.2, -61.2, -10, 61.2, 61.2, 10] (e.g.
+    # configs/petr/petr_r50dcn_gridmask_p4.py:53-56), so those are the
+    # defaults here. position_range scales only the 3D position
+    # embedding; box denorm always uses pc_range.
+    petr_lid: bool = True
+    petr_position_range: Tuple[float, ...] = (
+        -61.2, -61.2, -10.0, 61.2, 61.2, 10.0,
+    )
 
 
 @dataclass(frozen=True)

@@ -66,6 +66,8 @@ class GraphDETR4D(nn.Module):
             self.head = PETRHead(
                 cfg=self.cfg.head,
                 img_shape=self.cfg.img_size,
+                position_range=self.cfg.head.petr_position_range,
+                lid=self.cfg.head.petr_lid,
                 with_time=self.cfg.head_type == "petrv2",
                 dtype=dtype,
             )
@@ -75,6 +77,8 @@ class GraphDETR4D(nn.Module):
             self.head = PETRHeadSeg(
                 cfg=self.cfg.head,
                 img_shape=self.cfg.img_size,
+                position_range=self.cfg.head.petr_position_range,
+                lid=self.cfg.head.petr_lid,
                 dtype=dtype,
             )
         elif self.cfg.head_type == "detr4d_pe":

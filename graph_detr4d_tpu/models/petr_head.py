@@ -12,6 +12,16 @@ Parity targets:
     cameras' pixels; `with_time=True` divides predicted velocity by the
     mean timestamp delta between frames (:488-510).
 
+Two load-bearing reference quirks (guarded by tests/test_golden_petr.py):
+  * the decoder applies a POST-NORM LayerNorm to every intermediate layer
+    output before the branches (PETRTransformerDecoder.post_norm,
+    petr_transformer.py:418-422, 443-445) — on top of each layer's own
+    final norm, so layer outputs are LayerNorm'd twice;
+  * box denormalization uses `pc_range` (from the bbox coder,
+    petr_head.py:210, 440-442), NOT `position_range` (which only scales
+    the 3D position embedding, :317-320) — the two differ in every PETR
+    config (e.g. 61.2 vs 51.2).
+
 Dense attention is the trivially XLA-friendly path — all tokens live in one
 (B, N*H*W, C) einsum-attention, no gathers at all.
 """
@@ -157,8 +167,10 @@ class PETRHead(nn.Module):
         )(p3d.astype(self.dtype))
 
         mask = jnp.zeros((B, N, H, W), jnp.float32)
+        # petr configs use the sine default offset=0 (the flagship detr4d
+        # config sets offset=-0.5; petr_r50dcn_gridmask_p4.py:92 does not)
         sin = sine_positional_encoding_3d(
-            mask, num_feats=cfg.pe_num_feats, dtype=jnp.float32
+            mask, num_feats=cfg.pe_num_feats, offset=0.0, dtype=jnp.float32
         )
         sin = TwoLayerMLP(
             C * 4, C, dtype=self.dtype, name="adapt_pos3d"
@@ -188,6 +200,15 @@ class PETRHead(nn.Module):
             name="reg_branch",
         )
         ref_is = inverse_sigmoid(ref.astype(jnp.float32))
+        # decoder-level post-norm, applied to EVERY intermediate output
+        # before the branches (petr_transformer.py:443-445) but NOT fed
+        # back into the next layer
+        post_norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="post_norm"
+        )
+        # box denorm range is pc_range, not position_range
+        # (petr_head.py:210, 440-442)
+        pc = cfg.pc_range
         cls_scores, bbox_preds = [], []
         for lid_ in range(cfg.num_decoder_layers):
             query = PETRDecoderLayer(
@@ -198,13 +219,14 @@ class PETRHead(nn.Module):
                 dtype=self.dtype,
                 name=f"layer{lid_}",
             )(query, query_pos, memory, key_pos, deterministic)
-            score = cls_branch(query).astype(jnp.float32)
-            tmp = reg_branch(query).astype(jnp.float32)
+            inter = post_norm(query)
+            score = cls_branch(inter).astype(jnp.float32)
+            tmp = reg_branch(inter).astype(jnp.float32)
             xy = jax.nn.sigmoid(tmp[..., 0:2] + ref_is[..., 0:2])
             z = jax.nn.sigmoid(tmp[..., 4:5] + ref_is[..., 2:3])
-            cx = xy[..., 0:1] * (pr[3] - pr[0]) + pr[0]
-            cy = xy[..., 1:2] * (pr[4] - pr[1]) + pr[1]
-            cz = z * (pr[5] - pr[2]) + pr[2]
+            cx = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+            cy = xy[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+            cz = z * (pc[5] - pc[2]) + pc[2]
             vel = tmp[..., 8:10]
             if self.with_time and mean_time_stamp is not None:
                 vel = vel / mean_time_stamp[:, None, None]

@@ -111,6 +111,7 @@ class PETRHeadSeg(nn.Module):
     num_lane: Optional[int] = None
     lane_out: int = 768  # 3 channels x 16 x 16 patch
     position_range: Tuple[float, ...] = (-65.0, -65.0, -8.0, 65.0, 65.0, 8.0)
+    lid: bool = True  # every shipped config sets LID=True
     with_time: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -138,10 +139,15 @@ class PETRHeadSeg(nn.Module):
         coords_h = jnp.arange(H, dtype=jnp.float32) * pad_h / H
         coords_w = jnp.arange(W, dtype=jnp.float32) * pad_w / W
         D = cfg.depth_num
-        bin_size = (self.position_range[3] - cfg.depth_start) / D
-        coords_d = cfg.depth_start + bin_size * jnp.arange(
-            D, dtype=jnp.float32
-        )
+        if self.lid:
+            coords_d = lid_depth_bins(
+                D, cfg.depth_start, self.position_range[3]
+            )
+        else:
+            bin_size = (self.position_range[3] - cfg.depth_start) / D
+            coords_d = cfg.depth_start + bin_size * jnp.arange(
+                D, dtype=jnp.float32
+            )
         d = jnp.maximum(coords_d, eps)[None, None, :]
         xs = coords_w[None, :, None]
         ys = coords_h[:, None, None]
@@ -167,8 +173,9 @@ class PETRHeadSeg(nn.Module):
         )(p3d.astype(self.dtype))
 
         mask = jnp.zeros((B, N, H, W), jnp.float32)
+        # sine offset=0: petrv2_BEVseg.py:87 keeps the class default
         sin = sine_positional_encoding_3d(
-            mask, num_feats=cfg.pe_num_feats, dtype=jnp.float32
+            mask, num_feats=cfg.pe_num_feats, offset=0.0, dtype=jnp.float32
         )
         sin = TwoLayerMLP(C * 4, C, dtype=self.dtype, name="adapt_pos3d")(
             sin.astype(self.dtype)
@@ -219,6 +226,18 @@ class PETRHeadSeg(nn.Module):
         )
 
         ref_is = inverse_sigmoid(ref.astype(jnp.float32))
+        # decoder-level post-norms on every intermediate output, one per
+        # transformer (petr_transformer.py:443-445; both the det and lane
+        # decoders are PETRTransformers, petr_head_seg.py:544-547)
+        post_norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="post_norm"
+        )
+        lane_post_norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="lane_post_norm"
+        )
+        # box denorm uses pc_range, not position_range
+        # (petr_head_seg.py:591-593)
+        pc = cfg.pc_range
         cls_scores, bbox_preds, lane_preds = [], [], []
         for lid in range(cfg.num_decoder_layers):
             query = PETRDecoderLayer(
@@ -238,14 +257,17 @@ class PETRHeadSeg(nn.Module):
                 name=f"lane_layer{lid}",
             )(lane_query, lane_pos, memory, key_pos, deterministic)
 
-            score = cls_branch(query).astype(jnp.float32)
-            tmp = reg_branch(query).astype(jnp.float32)
-            lane = lane_branch(lane_query).astype(jnp.float32)
+            inter = post_norm(query)
+            score = cls_branch(inter).astype(jnp.float32)
+            tmp = reg_branch(inter).astype(jnp.float32)
+            lane = lane_branch(lane_post_norm(lane_query)).astype(
+                jnp.float32
+            )
             xy = jax.nn.sigmoid(tmp[..., 0:2] + ref_is[..., 0:2])
             z = jax.nn.sigmoid(tmp[..., 4:5] + ref_is[..., 2:3])
-            cx = xy[..., 0:1] * (pr[3] - pr[0]) + pr[0]
-            cy = xy[..., 1:2] * (pr[4] - pr[1]) + pr[1]
-            cz = z * (pr[5] - pr[2]) + pr[2]
+            cx = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+            cy = xy[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+            cz = z * (pc[5] - pc[2]) + pc[2]
             vel = tmp[..., 8:10]
             if self.with_time and mean_time_stamp is not None:
                 vel = vel / mean_time_stamp[:, None, None]

@@ -36,10 +36,15 @@ def sine_positional_encoding_3d(
 
     def encode(e):
         p = e[..., None] / dim_t
-        # interleave sin on even dims, cos on odd dims
-        return jnp.stack(
+        # REFERENCE QUIRK (checkpoint-parity load-bearing): the plugin's
+        # 3D sine PE stacks at dim=4 then .view()s — a BLOCK layout
+        # [sin(p0), sin(p2), ..., cos(p1), cos(p3), ...] per axis
+        # (positional_encoding.py:93-101), unlike mmdet's 2D encoding
+        # which interleaves [sin, cos, sin, cos, ...]. Trained
+        # adapt_pos3d/positional weights bake this channel order in.
+        return jnp.concatenate(
             [jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1
-        ).reshape(*e.shape, num_feats)
+        )
 
     pos = jnp.concatenate(
         [encode(n_embed), encode(y_embed), encode(x_embed)], axis=-1

@@ -74,8 +74,11 @@ def sine_pe_3d_t(mask, num_feats, temperature=10000, offset=-0.5,
     def enc(e):
         p = e[:, :, :, :, None] / dim_t
         Bs, Nc, H, W = e.shape
+        # the reference stacks at dim=4 then .view()s -> BLOCK layout
+        # [all sins | all coses] (positional_encoding.py:93-101), NOT
+        # the mmdet-2D interleave
         return torch.stack(
-            (p[..., 0::2].sin(), p[..., 1::2].cos()), dim=5
+            (p[..., 0::2].sin(), p[..., 1::2].cos()), dim=4
         ).view(Bs, Nc, H, W, -1)
 
     pos = torch.cat((enc(n_embed), enc(y_embed), enc(x_embed)), dim=4)

@@ -133,6 +133,99 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
 
     # ---------------- head
     hd = "pts_bbox_head"
+
+    def mha(dst, src_prefix):
+        """torch nn.MultiheadAttention -> flax MHA (packed in_proj split)."""
+        w = np.asarray(sd[f"{src_prefix}.in_proj_weight"])
+        b = np.asarray(sd[f"{src_prefix}.in_proj_bias"])
+        C = w.shape[1]
+        hd_dim = C // nheads
+        for gi, name in enumerate(("query", "key", "value")):
+            _set(
+                params,
+                dst + [name, "kernel"],
+                t_lin(w[gi * C : (gi + 1) * C]).reshape(C, nheads, hd_dim),
+            )
+            _set(
+                params,
+                dst + [name, "bias"],
+                b[gi * C : (gi + 1) * C].reshape(nheads, hd_dim),
+            )
+        _set(
+            params,
+            dst + ["out", "kernel"],
+            t_lin(sd[f"{src_prefix}.out_proj.weight"]).reshape(
+                nheads, hd_dim, C
+            ),
+        )
+        _set(params, dst + ["out", "bias"], sd[f"{src_prefix}.out_proj.bias"])
+
+    if (
+        f"{hd}.transformer.decoder.layers.0.attentions.1.attn.in_proj_weight"
+        in sd
+    ):
+        # PETR / PETRv2 head layout (petr_head.py:213-270): dense MHA
+        # cross-attention, Conv2d-1x1 PE MLPs, Embedding reference points,
+        # SHARED cls/reg branches (cls_branches is the same module repeated
+        # per layer, :240-243), decoder post_norm applied to every
+        # intermediate (petr_transformer.py:443-445).
+        conv(["head", "input_proj"], f"{hd}.input_proj", bias=True)
+        for dst, src in (
+            ("position_encoder", f"{hd}.position_encoder"),
+            ("adapt_pos3d", f"{hd}.adapt_pos3d"),
+        ):
+            for j, tidx in enumerate((0, 2)):
+                w = np.asarray(sd[f"{src}.{tidx}.weight"])[:, :, 0, 0]
+                _set(params, ["head", dst, f"Dense_{j}", "kernel"], t_lin(w))
+                _set(
+                    params,
+                    ["head", dst, f"Dense_{j}", "bias"],
+                    sd[f"{src}.{tidx}.bias"],
+                )
+        _set(
+            params,
+            ["head", "reference_points"],
+            sd[f"{hd}.reference_points.weight"],
+        )
+        for j, tidx in enumerate((0, 2)):
+            lin(
+                ["head", "query_embedding", f"Dense_{j}"],
+                f"{hd}.query_embedding.{tidx}",
+            )
+        lid = 0
+        while (
+            f"{hd}.transformer.decoder.layers.{lid}.norms.0.weight" in sd
+        ):
+            lsrc = f"{hd}.transformer.decoder.layers.{lid}"
+            dst = ["head", f"layer{lid}"]
+            mha(dst + ["self_attn"], f"{lsrc}.attentions.0.attn")
+            mha(dst + ["cross_attn"], f"{lsrc}.attentions.1.attn")
+            lin(dst + ["Dense_0"], f"{lsrc}.ffns.0.layers.0.0")
+            lin(dst + ["Dense_1"], f"{lsrc}.ffns.0.layers.1")
+            for ni in range(3):
+                lin_ln(params, dst + [f"norm{ni + 1}"], sd, f"{lsrc}.norms.{ni}")
+            lid += 1
+        lin_ln(
+            params,
+            ["head", "post_norm"],
+            sd,
+            f"{hd}.transformer.decoder.post_norm",
+        )
+        # shared branches: every cls_branches.{i} aliases the same tensors
+        cls_src = f"{hd}.cls_branches.0"
+        dst = ["head", "cls_branch"]
+        lin(dst + ["fc0"], f"{cls_src}.0")
+        lin_ln(params, dst + ["ln0"], sd, f"{cls_src}.1")
+        lin(dst + ["fc1"], f"{cls_src}.3")
+        lin_ln(params, dst + ["ln1"], sd, f"{cls_src}.4")
+        lin(dst + ["out"], f"{cls_src}.6")
+        reg_src = f"{hd}.reg_branches.0"
+        dst = ["head", "reg_branch"]
+        lin(dst + ["fc0"], f"{reg_src}.0")
+        lin(dst + ["fc1"], f"{reg_src}.2")
+        lin(dst + ["out"], f"{reg_src}.4")
+        return {"params": params, "batch_stats": stats}
+
     if f"{hd}.query_embedding.weight" in sd:
         _set(
             params,

@@ -47,6 +47,9 @@ class NeckConfig:
     start_level: int = 1
     num_outs: int = 4
     relu_before_extra_convs: bool = True
+    # CPFPN (cp_fpn.py:182-185): 3x3 fpn conv only on level 0, higher
+    # levels pass the lateral through — the petr/petrv2 neck
+    cp: bool = False
 
 
 @dataclass(frozen=True)

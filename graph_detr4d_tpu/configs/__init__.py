@@ -323,16 +323,30 @@ def graph_detr3d_res101():
 
 # --------------------------------------------------------- petr family
 def _petr(backbone="resnet", img_size=(320, 800), **kw) -> ModelConfig:
+    """PETR-family base: the reference necks are 2-level CPFPNs over the
+    backbone's LAST TWO maps (petr_r50dcn_gridmask_p4.py:33, 43-47
+    out_indices=(2,3) + CPFPN(in_channels=[1024, 2048], num_outs=2);
+    petrv2_vovnet...py:35-40 out_features=('stage4','stage5') +
+    CPFPN([768, 1024])) — the head reads position_level=0, the stride-16
+    map."""
     head = dict(num_cams=6, with_detach=False)
     head.update(kw)
     cfg = ModelConfig(
-        head_type="petr", head=HeadConfig(**head), img_size=img_size
+        head_type="petr",
+        head=HeadConfig(**head),
+        img_size=img_size,
+        neck=NeckConfig(
+            in_channels=(1024, 2048), start_level=0, num_outs=2, cp=True
+        ),
+    )
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, out_indices=(2, 3))
     )
     if backbone == "vovnet":
         cfg = dataclasses.replace(
             cfg,
             backbone_type="vovnet",
-            neck=NeckConfig(in_channels=(256, 512, 768, 1024)),
+            neck=dataclasses.replace(cfg.neck, in_channels=(768, 1024)),
         )
     return cfg
 
@@ -372,7 +386,10 @@ def petr_c5():
     cfg = _petr()
     return dataclasses.replace(
         cfg,
-        neck=dataclasses.replace(cfg.neck, start_level=3, num_outs=1),
+        backbone=dataclasses.replace(cfg.backbone, out_indices=(3,)),
+        neck=dataclasses.replace(
+            cfg.neck, in_channels=(2048,), start_level=0, num_outs=1
+        ),
         head=dataclasses.replace(cfg.head, num_levels=1),
     )
 

@@ -58,6 +58,7 @@ class GraphDETR4D(nn.Module):
             start_level=self.cfg.neck.start_level,
             num_outs=self.cfg.neck.num_outs,
             relu_before_extra_convs=self.cfg.neck.relu_before_extra_convs,
+            cp=self.cfg.neck.cp,
             dtype=dtype,
         )
         if self.cfg.head_type in ("petr", "petrv2"):

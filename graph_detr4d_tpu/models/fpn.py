@@ -2,7 +2,18 @@
 configs/detr4d/...12e.py:42-49: start_level=1, add_extra_convs='on_output',
 num_outs=4, relu_before_extra_convs=True.
 
-Channels-last; nearest-neighbor top-down upsampling (mmdet default)."""
+`cp=True` is the reference's CPFPN (models/necks/cp_fpn.py:182-185): the
+3x3 fpn conv is applied ONLY on level 0 and higher levels pass the
+laterals through ("remove unused parameters" — the petr/petrv2 configs
+use it over the backbone's last two levels with num_outs=2).
+
+Channels-last; nearest-neighbor top-down upsampling (mmdet default).
+
+mmdet quirk kept exactly (cp_fpn.py:203-208 / mmdet fpn.py): when extra
+levels are added, the FIRST extra conv is applied to the raw source
+WITHOUT relu; `relu_before_extra_convs` only inserts relu from the
+second extra conv on.
+"""
 
 from typing import Sequence
 
@@ -23,6 +34,7 @@ class FPN(nn.Module):
     start_level: int = 1
     num_outs: int = 4
     relu_before_extra_convs: bool = True
+    cp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -49,12 +61,15 @@ class FPN(nn.Module):
                 dtype=self.dtype,
                 name=f"fpn_conv{i}",
             )(x)
+            if (i == 0 or not self.cp)
+            else x
             for i, x in enumerate(laterals)
         ]
-        # extra levels from the last output ('on_output')
+        # extra levels from the last output ('on_output'); the first extra
+        # conv sees the raw source, relu only from the second on
         for i in range(len(outs), self.num_outs):
             src = outs[-1]
-            if self.relu_before_extra_convs:
+            if self.relu_before_extra_convs and i > len(laterals):
                 src = nn.relu(src)
             outs.append(
                 nn.Conv(

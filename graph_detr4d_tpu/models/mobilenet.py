@@ -45,10 +45,13 @@ class InvertedResidual(nn.Module):
             )(y)
             y = FrozenBatchNorm(hidden, dtype=self.dtype, name="expand_bn")(y)
             y = nn.relu6(y)
+        # explicit symmetric pad 1 (torch Conv2d padding=1): flax 'SAME'
+        # places the pad asymmetrically for stride 2 — a 1-px shift
         y = nn.Conv(
             hidden,
             (3, 3),
             strides=self.stride,
+            padding=1,
             feature_group_count=hidden,
             use_bias=False,
             dtype=self.dtype,
@@ -83,8 +86,8 @@ class MobileNetV2(nn.Module):
             return max(int(ch * self.widen_factor), 8)
 
         y = nn.Conv(
-            c(32), (3, 3), strides=2, use_bias=False, dtype=self.dtype,
-            name="stem",
+            c(32), (3, 3), strides=2, padding=1, use_bias=False,
+            dtype=self.dtype, name="stem",
         )(x)
         y = FrozenBatchNorm(c(32), dtype=self.dtype, name="stem_bn")(y)
         y = nn.relu6(y)

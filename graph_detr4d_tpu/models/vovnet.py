@@ -126,8 +126,13 @@ class VoVNet(nn.Module):
         outs = []
         for stage in range(4):
             if stage > 0:
+                # reference: nn.MaxPool2d(3, stride=2, ceil_mode=True), NO
+                # padding (vovnet.py:249) — windows start at pixel 0 and the
+                # last window is edge-clipped. For k=3/s=2 that is exactly
+                # right/bottom-pad 1 with -inf fill (flax max_pool pads with
+                # -inf), NOT the symmetric (1, 1) pad.
                 x = nn.max_pool(
-                    x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+                    x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1))
                 )
             nblocks = spec["block_per_stage"][stage]
             for b in range(nblocks):

@@ -113,6 +113,68 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
                 conv(dst + ["downsample_conv"], f"{src}.downsample.0")
                 bn(dst + ["downsample_bn"], f"{src}.downsample.1")
 
+    # ---------------- backbone (VoVNet naming, vovnet.py:124-162: keys
+    # like stem.stem_1/conv.weight, stage3.OSA3_2.layers.0.OSA3_2_0/conv.
+    # weight, ...concat.OSA3_2_concat/conv.weight, ...ese.fc.weight)
+    if "img_backbone.stem.stem_1/conv.weight" in sd:
+        for k in (1, 2, 3):
+            conv(
+                ["backbone", f"stem{k}_conv"],
+                f"img_backbone.stem.stem_{k}/conv",
+            )
+            bn(["backbone", f"stem{k}_bn"], f"img_backbone.stem.stem_{k}/norm")
+        for s in range(2, 6):
+            b = 1
+            while (
+                f"img_backbone.stage{s}.OSA{s}_{b}.concat."
+                f"OSA{s}_{b}_concat/conv.weight" in sd
+            ):
+                src = f"img_backbone.stage{s}.OSA{s}_{b}"
+                mod = f"OSA{s}_{b}"
+                dst = ["backbone", f"stage{s}_osa{b - 1}"]
+                i = 0
+                while f"{src}.layers.{i}.{mod}_{i}/conv.weight" in sd:
+                    conv(
+                        dst + [f"layer{i}_conv"],
+                        f"{src}.layers.{i}.{mod}_{i}/conv",
+                    )
+                    bn(
+                        dst + [f"layer{i}_bn"],
+                        f"{src}.layers.{i}.{mod}_{i}/norm",
+                    )
+                    i += 1
+                conv(
+                    dst + ["concat_conv"], f"{src}.concat.{mod}_concat/conv"
+                )
+                bn(dst + ["concat_bn"], f"{src}.concat.{mod}_concat/norm")
+                conv(dst + ["ese", "fc"], f"{src}.ese.fc", bias=True)
+                b += 1
+
+    # ---------------- backbone (mmdet MobileNetV2 naming: conv1/conv2
+    # ConvModules + layer{1..7}.{b}.conv.{i} inverted residuals; i is
+    # (expand, dw, project) for expand_ratio != 1, (dw, project) for
+    # layer1's expand_ratio == 1)
+    if "img_backbone.conv1.conv.weight" in sd:
+        conv(["backbone", "stem"], "img_backbone.conv1.conv")
+        bn(["backbone", "stem_bn"], "img_backbone.conv1.bn")
+        for s in range(1, 8):
+            b = 0
+            while f"img_backbone.layer{s}.{b}.conv.0.conv.weight" in sd:
+                src = f"img_backbone.layer{s}.{b}.conv"
+                dst = ["backbone", f"stage{s - 1}_block{b}"]
+                parts = (
+                    ["dw", "project"]
+                    if f"{src}.2.conv.weight" not in sd
+                    else ["expand", "dw", "project"]
+                )
+                for i, part in enumerate(parts):
+                    conv(dst + [part], f"{src}.{i}.conv")
+                    bn(dst + [f"{part}_bn"], f"{src}.{i}.bn")
+                b += 1
+        if "img_backbone.conv2.conv.weight" in sd:
+            conv(["backbone", "conv2"], "img_backbone.conv2.conv")
+            bn(["backbone", "conv2_bn"], "img_backbone.conv2.bn")
+
     # ---------------- neck (mmdet FPN naming)
     i = 0
     while f"img_neck.lateral_convs.{i}.conv.weight" in sd:
@@ -224,6 +286,10 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
         lin(dst + ["fc0"], f"{reg_src}.0")
         lin(dst + ["fc1"], f"{reg_src}.2")
         lin(dst + ["out"], f"{reg_src}.4")
+        return {"params": params, "batch_stats": stats}
+
+    if f"{hd}.transformer.reference_points.weight" not in sd:
+        # backbone/neck-only state dict (e.g. a VoVNet .pth)
         return {"params": params, "batch_stats": stats}
 
     if f"{hd}.query_embedding.weight" in sd:

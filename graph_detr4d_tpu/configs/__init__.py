@@ -407,9 +407,15 @@ def petrv2_vovnet_1600_trainval():
 
 @register("petrv2_BEVseg")
 def petrv2_bevseg():
-    """PETR + BEV map segmentation (Petr3D_seg + PETRHeadseg)."""
-    cfg = _petr(num_cams=12)
-    return dataclasses.replace(cfg, head_type="petr_seg")
+    """PETR + BEV map segmentation (Petr3D_seg + PETRHeadseg):
+    VoVNetCP V-99-eSE (remat) over stages 4-5, CPFPN [768, 1024],
+    12 temporal cams, with_time + with_se (petrv2_BEVseg.py:27-56)."""
+    cfg = _petr(backbone="vovnet", num_cams=12)
+    return dataclasses.replace(
+        cfg,
+        head_type="petr_seg",
+        backbone=dataclasses.replace(cfg.backbone, remat=True),
+    )
 
 
 # ------------------------------------------------------------- distill

@@ -80,6 +80,13 @@ class GraphDETR4D(nn.Module):
                 img_shape=self.cfg.img_size,
                 position_range=self.cfg.head.petr_position_range,
                 lid=self.cfg.head.petr_lid,
+                # temporal iff the rig carries past-frame cameras
+                # (petrv2_BEVseg.py:51 with_time=True, 12-cam rig)
+                with_time=self.cfg.head.num_cams
+                > self.cfg.head.num_frame_cams,
+                # with_fpe doubles as the seg head's with_se (same
+                # SELayer-on-PE gate, petrv2_BEVseg.py:50)
+                with_se=self.cfg.head.with_fpe,
                 dtype=dtype,
             )
         elif self.cfg.head_type == "detr4d_pe":

@@ -26,7 +26,7 @@ from ..config import HeadConfig
 from .positional import sine_positional_encoding_3d, lid_depth_bins
 from .petr_head import PETRDecoderLayer, pos2posemb3d
 from .head import ClsBranch, RegBranch
-from .layers import TwoLayerMLP
+from .layers import SELayer, TwoLayerMLP
 from ..utils.math import inverse_sigmoid
 from ..geometry.projection import inv4x4
 
@@ -113,6 +113,10 @@ class PETRHeadSeg(nn.Module):
     position_range: Tuple[float, ...] = (-65.0, -65.0, -8.0, 65.0, 65.0, 8.0)
     lid: bool = True  # every shipped config sets LID=True
     with_time: bool = False
+    # SE gate on the 3D coordinate PE, modulated by the projected
+    # features (petr_head_seg.py:362-363, 507-508; petrv2_BEVseg.py:50
+    # sets with_se=True). Same SELayer shape as the flagship's fpe.
+    with_se: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -171,6 +175,10 @@ class PETRHeadSeg(nn.Module):
         pos3d = TwoLayerMLP(
             C * 4, C, dtype=self.dtype, name="position_encoder"
         )(p3d.astype(self.dtype))
+        if self.with_se:
+            # PE gated by an SE of the projected features
+            # (petr_head_seg.py:507-508: se(coords_pe, x))
+            pos3d = SELayer(C, dtype=self.dtype, name="se")(pos3d, x)
 
         mask = jnp.zeros((B, N, H, W), jnp.float32)
         # sine offset=0: petrv2_BEVseg.py:87 keeps the class default

@@ -137,6 +137,23 @@ class Detr3DCrossAtten(nn.Module):
 
 
 class Deform3DCrossAttnMP(nn.Module):
+    """Graph multi-point deformable cross-attention
+    (deform3d_cross_attn_multi_point.py:34-453): center branch identical
+    to Deform3DCrossAttn plus `num_neighbors` precomputed graph-neighbor
+    reference points per query sampled WITHOUT offsets at P//4 taps,
+    fused by a learned 2-way softmax.
+
+    Reference quirks replicated: no query_pos added anywhere (:220-221),
+    raw (unsigmoided) neighbor cam gate (:424-429), cam-gate
+    view-scramble. Deliberate deviations (documented inline): per-sample
+    fusion weights instead of sample-0's (:439, identical at B=1), and a
+    CONSISTENT neighbor-major (j*Q + q) layout for neighbor points,
+    gates, and attention logits — the reference mixes query-major
+    attention logits (:373-375) with neighbor-major gates/points
+    (:421-424), and its own MP decoder class is absent from the checkout
+    (no config can build it, transformer.py:108-114 note), so there is
+    no runnable ground truth for the mixed layout."""
+
     embed_dims: int = 256
     num_heads: int = 8
     num_levels: int = 4
@@ -170,7 +187,12 @@ class Deform3DCrossAttnMP(nn.Module):
         )
         hd = C // HH
         residual = query
-        q = query + query_pos
+        # REFERENCE QUIRK: the MP variant does NOT add query_pos — the
+        # `query = query + query_pos` line is commented out in its
+        # forward (multi_point.py:220-221); every linear sees the raw
+        # query (the standard variant adds it, deform3d_cross_attn.py:
+        # 203-204).
+        q = query
 
         ref_center = reference_points[:, :Q]
         ref_neighbor = reference_points[:, Q:]  # (B, Q*K, 3)
@@ -267,14 +289,23 @@ class Deform3DCrossAttnMP(nn.Module):
             loc_n.astype(self.dtype),
             attn_n.reshape(B * N, Q * K, HH, L, Pn).astype(self.dtype),
         ).reshape(B, N, Q * K, C)
-        # same view-scramble on the neighbor gate (multi_point.py:424-425)
-        gate_n = jax.nn.sigmoid(
-            cam_gate(qn).astype(jnp.float32)
-        ).reshape(B, N, Q * K)[..., None]
+        # same view-scramble on the neighbor gate (multi_point.py:424-425).
+        # REFERENCE QUIRK: the neighbor gate is the RAW cam_attention_
+        # weights output — no sigmoid (multi_point.py:424-429; only the
+        # center branch sigmoids at :357). With the reference's zero
+        # init the neighbor branch therefore starts exactly OFF.
+        gate_n = cam_gate(qn).astype(jnp.float32).reshape(B, N, Q * K)[
+            ..., None
+        ]
         nb = (nb.astype(jnp.float32) * gate_n).sum(1)  # (B, Q*K, C)
         nb = nb.reshape(B, K, Q, C).sum(1)  # sum over neighbors
 
-        # ---- learned global 2-way fusion (:436-439)
+        # ---- learned global 2-way fusion (:436-439). Deliberate
+        # deviation: the reference indexes `output_weight[0]` — sample
+        # 0's fused weights applied to the whole batch — which couples
+        # samples across the data-parallel axis. We keep per-sample
+        # weights (identical at B=1, i.e. for all eval/checkpoint-parity
+        # paths, and shard-safe under pjit).
         fuse = nn.Dense(2, dtype=self.dtype, name="output_weight")(
             jnp.concatenate([center, nb], -1).astype(self.dtype)
         )

@@ -126,6 +126,36 @@ class NuScenesSweepDataset:
             choices.append(choices[-1])
         return choices
 
+    def mean_time_stamp(self, info, sweep_idx) -> float:
+        """PETRv2's temporal delta in seconds (petrv2_head.py:488-494 +
+        loading.py:87-89, 133-134): mean over cams of
+        (lidar_ts - sweep_cam_ts) - (lidar_ts - cur_cam_ts)
+        = mean(cur_cam_ts) - mean(sweep_cam_ts). When there are no
+        sweeps the reference pads timestamps with
+        mid(sweep_range) * 0.083 s (loading.py:96-97)."""
+        sweeps = info.get("sweeps", [])
+        if sweep_idx is None or not sweeps:
+            lo, hi = self.sweep_range
+            return (lo + hi) / 2.0 * 0.083
+        sweep = sweeps[min(sweep_idx, len(sweeps) - 1)]
+        if len(sweep.keys()) < len(CAM_ORDER):
+            sweep = sweeps[min(sweep_idx, len(sweeps) - 1) - 1]
+        cur = np.mean(
+            [
+                float(
+                    info["cams"][cam].get("timestamp", info["timestamp"])
+                )
+                for cam in CAM_ORDER
+            ]
+        )
+        swp = np.mean(
+            [
+                float(sweep[cam].get("timestamp", info["timestamp"]))
+                for cam in CAM_ORDER
+            ]
+        )
+        return float((cur - swp) / 1e6)
+
     def sweep_frame_calib(self, info, sweep_idx: int):
         """Paths + aligned lidar2img for one previous frame; falls back to
         duplicating the current frame when no sweeps exist
@@ -204,6 +234,7 @@ class NuScenesSweepDataset:
     def sample(self, idx: int, temporal: bool = True) -> dict:
         info = self.infos[idx]
         paths, l2i = self.current_frame_calib(info)
+        mts = None
         if temporal:
             sweep_idxs = self.choose_sweeps(info)
             for k in range(self.sweeps_num):
@@ -213,11 +244,30 @@ class NuScenesSweepDataset:
                 spaths, sl2i = self.sweep_frame_calib(info, sweep_idx)
                 paths = paths + spaths
                 l2i = np.concatenate([l2i, sl2i], axis=0)
+            # PETRv2 with_time uses frame 1 vs frame 0 only
+            # (petrv2_head.py:493-494 time_stamp[:, 1] - time_stamp[:, 0])
+            mts = self.mean_time_stamp(
+                info, None if sweep_idxs is None else sweep_idxs[0]
+            )
         gt_bboxes, gt_labels, gt_valid, gt_attrs = self.padded_gt(info)
+        # per-camera intrinsics for the camera-aware (PECAM) head; sweep
+        # frames reuse the current frame's intrinsics, exactly like the
+        # sweep lidar2img composition above (loading.py:159-166 keys the
+        # sweep projection on the current cams' cam_intrinsic)
+        intr_cur = []
+        for cam in CAM_ORDER:
+            k4 = np.eye(4, dtype=np.float32)
+            k = np.asarray(info["cams"][cam]["cam_intrinsic"], np.float32)
+            k4[: k.shape[0], : k.shape[1]] = k
+            intr_cur.append(k4)
+        intr = np.asarray(intr_cur, np.float32)
+        n_frames = l2i.shape[0] // len(CAM_ORDER)
+        intr = np.tile(intr, (n_frames, 1, 1))
         out = {
             "token": info["token"],
             "image_paths": paths,
             "lidar2img": l2i,
+            "intrinsics": intr,
             "gt_bboxes": gt_bboxes,
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,
@@ -230,6 +280,8 @@ class NuScenesSweepDataset:
         # (LoadMapsFromFiles parity, pipelines/loading.py:10-25)
         if "map_filename" in info:
             out["map_filename"] = info["map_filename"]
+        if mts is not None:
+            out["mean_time_stamp"] = mts
         return out
 
 

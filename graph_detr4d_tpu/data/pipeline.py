@@ -435,7 +435,7 @@ def build_batch(
     use_rot = training and (aug is None or aug.rot_aug)
     images, l2is = [], []
     gtb, gtl, gtv = [], [], []
-    maps = []
+    maps, intrs, ida_scales = [], [], []
     if use_native and not training:
         from ..native import available
 
@@ -512,6 +512,21 @@ def build_batch(
         gtv.append(s["gt_valid"])
         if "map_filename" in s:
             maps.append(load_maps(s["map_filename"])[1])
+        if "intrinsics" in s:
+            intr = np.asarray(s["intrinsics"], np.float32)
+            intrs.append(intr)
+            # camera-aware aug_scale, the reference's exact quirk:
+            # sqrt(ida[0,0]^2 + ida[0,0]^2) = sqrt(2)*|ida00|
+            # (detr3d_head_pe_camaware.py:93-95); one shared ida per
+            # sample, so constant across cams
+            ida00 = float(p.ida_mat()[0, 0])
+            ida_scales.append(
+                np.full(
+                    (intr.shape[0],),
+                    np.sqrt(2.0) * abs(ida00),
+                    np.float32,
+                )
+            )
     batch = {
         "images": np.stack(images),
         "lidar2img": np.stack(l2is).astype(np.float32),
@@ -521,4 +536,11 @@ def build_batch(
     }
     if maps:
         batch["maps"] = np.stack(maps)
+    if intrs:
+        batch["intrinsics"] = np.stack(intrs)
+        batch["ida_scale"] = np.stack(ida_scales)
+    if all("mean_time_stamp" in s for s in samples):
+        batch["mean_time_stamp"] = np.asarray(
+            [s["mean_time_stamp"] for s in samples], np.float32
+        )
     return batch

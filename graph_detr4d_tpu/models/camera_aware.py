@@ -23,7 +23,12 @@ class DepthNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, intrinsics, ida_scale):
-        """x (B, N, H, W, C); intrinsics (B, N, 4, 4); ida_scale (B, N)."""
+        """x (B, N, H, W, C); intrinsics (B, N, 4, 4); ida_scale (B, N).
+
+        ida_scale carries the reference's aug_scale QUIRK upstream:
+        `sqrt(ida[0,0]^2 + ida[0,0]^2)` — ida[0,0] twice, i.e.
+        sqrt(2)*|ida00| (detr3d_head_pe_camaware.py:93-95); the pipeline
+        computes it that way (data/pipeline.py build_batch)."""
         B, N, H, W, _ = x.shape
         y = nn.Conv(
             self.mid_channels,
@@ -44,10 +49,12 @@ class DepthNet(nn.Module):
         scaled = (
             pixel_size * self.scale_depth_factor / jnp.maximum(ida_scale, 1e-6)
         )[..., None]
+        # reference Mlp default act_layer is ReLU
+        # (detr3d_head_pe_camaware.py:35-48)
         se = TwoLayerMLP(
             self.mid_channels,
             self.mid_channels,
-            act=nn.gelu,
+            act=nn.relu,
             dtype=self.dtype,
             name="mlp",
         )(scaled.astype(self.dtype))  # (B, N, mid)

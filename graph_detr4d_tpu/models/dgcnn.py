@@ -37,6 +37,7 @@ from ..ops.voxelize import (
 )
 from ..utils.math import inverse_sigmoid
 from .head import ClsBranch, RegBranch
+from .layers import FrozenBatchNorm
 from .positional import sine_positional_encoding_2d
 
 
@@ -78,10 +79,17 @@ class DGCNNAttn(nn.Module):
         x = x.astype(self.dtype)
 
         def edge_conv(feats, name):
+            # reference: 1x1 Conv2d + BatchNorm2d + ReLU
+            # (dgcnn_attn.py:32-37). BN here follows the repo-wide
+            # frozen-BN convention (per-channel affine from stored
+            # stats — exact at eval with converted weights; train-mode
+            # stat updates are not replicated).
             y = nn.Dense(
                 self.embed_dims, use_bias=False, dtype=self.dtype, name=name
             )(feats)
-            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name + "_norm")(y)
+            y = FrozenBatchNorm(
+                self.embed_dims, dtype=self.dtype, name=name + "_bn"
+            )(y)
             y = nn.relu(y)
             return y.max(axis=2)  # max over K neighbors
 

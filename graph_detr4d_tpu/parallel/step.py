@@ -62,6 +62,8 @@ def build_train_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
                 rng=rng_gm,
                 depth_factors=batch.get("depth_factors"),
                 mean_time_stamp=batch.get("mean_time_stamp"),
+                intrinsics=batch.get("intrinsics"),
+                ida_scale=batch.get("ida_scale"),
                 rngs={"dropout": rng_do},
             )
             # hybrid H-DETR heads emit a one2many query group that gets
@@ -149,6 +151,9 @@ def build_eval_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
             batch["lidar2img"],
             train=False,
             depth_factors=batch.get("depth_factors"),
+            mean_time_stamp=batch.get("mean_time_stamp"),
+            intrinsics=batch.get("intrinsics"),
+            ida_scale=batch.get("ida_scale"),
         )
         return decode_batch(
             out,

@@ -167,6 +167,20 @@ def test_dataset_reader_synthetic_pkl(tmp_path):
     s2 = ds_test.sample(1)
     np.testing.assert_array_equal(s1["lidar2img"], s2["lidar2img"])
 
+    # camera-aware intrinsics ride along, tiled over temporal frames
+    assert s["intrinsics"].shape == (12, 4, 4)
+    np.testing.assert_allclose(
+        s["intrinsics"][6:], s["intrinsics"][:6]
+    )
+    assert s["intrinsics"][0, 0, 0] == 1000.0
+    # PETRv2 temporal delta: mean(cur cam ts) - mean(sweep cam ts)
+    # in seconds (loading.py:87-89, 133-134 convention); fixture sweep
+    # seeds are cur seeds + 100 -> delta exactly -100 us = -1e-4 s
+    assert "mean_time_stamp" in s
+    np.testing.assert_allclose(s["mean_time_stamp"], -1e-4, rtol=1e-6)
+    # single-frame sampling emits no temporal delta
+    assert "mean_time_stamp" not in ds.sample(0, temporal=False)
+
 
 def test_scale_aware_resize_identity_and_scaling():
     """SimpleDA scale-aware resize (transform_3d.py:880-1035): with
@@ -287,7 +301,22 @@ def test_native_loader_matches_python_path(tmp_path):
         "gt_valid": np.zeros((4,), np.float32),
     }
     kw = dict(final_hw=(64, 128), training=False, src_hw=(128, 256))
+    # cam-aware calib + PETRv2 timestamp ride along when present
+    sample["intrinsics"] = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    sample["mean_time_stamp"] = 0.5
     b_py = build_batch([sample], **kw)
+    assert b_py["intrinsics"].shape == (1, 3, 4, 4)
+    # ida_scale carries the reference's aug_scale quirk sqrt(2)*|ida00|
+    # where ida00 is the eval resize base*mean(resize_lim)
+    from graph_detr4d_tpu.data.pipeline import sample_ida_params
+
+    p_eval = sample_ida_params(
+        np.random.RandomState(0), (128, 256), (64, 128), training=False
+    )
+    np.testing.assert_allclose(
+        b_py["ida_scale"], np.sqrt(2.0) * p_eval.resize, rtol=1e-6
+    )
+    np.testing.assert_allclose(b_py["mean_time_stamp"], [0.5])
     b_nat = build_batch([sample], use_native=True, **kw)
     assert b_nat["images"].shape == b_py["images"].shape
     d = np.abs(b_nat["images"] - b_py["images"])

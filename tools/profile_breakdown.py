@@ -136,6 +136,24 @@ def main():
     measure("batch-2 (dcn, cap .5)", batch_size=2)
     measure("batch-4 (dcn, cap .5)", batch_size=4)
 
+    # batch-4 head superlinearity suspects (PROFILE.md: head 41.9 ->
+    # 227.2 ms at B=4, 5.4x): isolate the compaction one-hot einsums
+    # (B*N-scaled select/expand matmuls) vs the one-hot MSDA sampling of
+    # levels 1-3 vs the gather fast path falling off at larger tables
+    measure("batch-4 cap off", batch_size=4, cam_capacity=1.0)
+    try:
+        _msda.ONEHOT_MAX_PIXELS = 0
+        measure("batch-4 msda one-hot off", batch_size=4)
+    finally:
+        _msda.ONEHOT_MAX_PIXELS = saved[0]
+    import os as _os
+
+    _os.environ["GRD4D_MSDA_IMPL"] = "pair"
+    try:
+        measure("batch-4 msda 'pair'", batch_size=4)
+    finally:
+        _os.environ.pop("GRD4D_MSDA_IMPL", None)
+
 
 if __name__ == "__main__":
     main()

@@ -47,7 +47,35 @@ def load_cpu_baseline():
 
 
 def main():
+    # Device-discovery watchdog: when the axon tunnel is down,
+    # jax.devices() hangs indefinitely (observed 6+ h outages,
+    # CLAUDE.md). Emit an honest error line and exit nonzero instead of
+    # hanging the driver; a healthy cold start resolves devices in
+    # seconds, so 5 min is generous.
+    import threading
+
+    discovered = threading.Event()
+
+    def _watchdog():
+        if not discovered.wait(300.0):
+            print(
+                json.dumps(
+                    {
+                        "metric": "6cam_inference_fps_640x1600_incl_decode",
+                        "value": None,
+                        "error": "tpu_tunnel_down_device_discovery_timeout",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
+
+    jax.devices()
+    discovered.set()
 
     jax.config.update(
         "jax_compilation_cache_dir",

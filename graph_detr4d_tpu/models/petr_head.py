@@ -17,6 +17,12 @@ Two load-bearing reference quirks (guarded by tests/test_golden_petr.py):
     output before the branches (PETRTransformerDecoder.post_norm,
     petr_transformer.py:418-422, 443-445) — on top of each layer's own
     final norm, so layer outputs are LayerNorm'd twice;
+
+Scope note: the reference also threads a padding mask (non-÷32 image
+tails) into the cross-attention key_padding_mask and the sine PE cumsum.
+Every shipped petr config's final_dim (320x800 / 640x1600) is already
+÷32, so the mask is all-zero in practice; this head assumes unpadded
+inputs (masks would be all-zero) and omits it.
   * box denormalization uses `pc_range` (from the bbox coder,
     petr_head.py:210, 440-442), NOT `position_range` (which only scales
     the 3D position embedding, :317-320) — the two differ in every PETR

@@ -245,3 +245,57 @@ def test_tp_metric_class_skips_match_devkit():
     m = ev.evaluate()
     # cone's wrong yaw must not leak into mAOE
     assert m["mAOE"] < 1e-6
+
+
+def test_nms_free_decode_matches_torch_oracle():
+    """decode_single oracle (nms_free_coder.py:48-98): sigmoid -> flat
+    topk over query x class -> index decomposition -> denormalize ->
+    post-center-range + score-threshold filter. Locks the (Q, C)
+    row-major flattening (labels = idx % C, query = idx // C) and the
+    fixed-size validity-mask formulation against the reference's
+    dynamic-shape filter."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from graph_detr4d_tpu.core.coder import nms_free_decode
+
+    rng = np.random.RandomState(3)
+    Q, C, K = 40, 10, 12
+    logits = rng.randn(Q, C).astype(np.float32) * 2
+    codes = rng.randn(Q, 10).astype(np.float32)
+    codes[:, 2:4] = rng.rand(Q, 2) * 0.5  # log sizes stay sane
+    pcr = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    thr = 0.3
+
+    det = nms_free_decode(
+        jnp.asarray(logits),
+        jnp.asarray(codes),
+        max_num=K,
+        post_center_range=pcr,
+        score_threshold=thr,
+    )
+
+    t_scores = torch.sigmoid(torch.from_numpy(logits)).view(-1)
+    scores_t, idx_t = t_scores.topk(K)
+    labels_t = idx_t % C
+    q_t = idx_t // C
+    # same denormalization math as the framework (goldens elsewhere)
+    from graph_detr4d_tpu.geometry.boxes import denormalize_bbox
+
+    boxes_t = np.asarray(denormalize_bbox(jnp.asarray(codes)))[
+        q_t.numpy()
+    ]
+    keep = (
+        (boxes_t[:, :3] >= np.asarray(pcr[:3])).all(1)
+        & (boxes_t[:, :3] <= np.asarray(pcr[3:])).all(1)
+        & (scores_t.numpy() > thr)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(det.scores), scores_t.numpy(), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(det.labels), labels_t.numpy())
+    np.testing.assert_allclose(np.asarray(det.bboxes), boxes_t, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(det.valid), keep)

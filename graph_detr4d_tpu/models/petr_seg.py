@@ -44,7 +44,9 @@ def pos2posemb2d(pos, num_pos_feats=128, temperature=10000.0):
             [jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1
         ).reshape(*p.shape[:-1], num_pos_feats)
 
-    return jnp.concatenate([enc(pos[..., 0]), enc(pos[..., 1])], axis=-1)
+    # REFERENCE QUIRK: the 2D variant concatenates (pos_y, pos_x) — Y
+    # first (petr_head_seg.py:54), unlike pos2posemb3d's (x, y, z) order
+    return jnp.concatenate([enc(pos[..., 1]), enc(pos[..., 0])], axis=-1)
 
 
 def lane_grid(num_lane: int) -> np.ndarray:

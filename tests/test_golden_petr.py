@@ -407,3 +407,23 @@ def test_petr_head_matches_torch_oracle(lid, with_time):
     np.testing.assert_allclose(
         got_bbox, ref_bbox.numpy(), rtol=1e-4, atol=2e-4
     )
+
+
+def test_pos2posemb2d_matches_torch_oracle():
+    """Locks the 2D variant's (pos_y, pos_x) concat order — Y first
+    (petr_head_seg.py:43-55), unlike pos2posemb3d's (x, y, z)."""
+    from graph_detr4d_tpu.models.petr_seg import pos2posemb2d
+
+    rng = np.random.RandomState(2)
+    pos = rng.rand(5, 2).astype(np.float32)
+    got = np.asarray(pos2posemb2d(jnp.asarray(pos), num_pos_feats=8))
+
+    p = torch.from_numpy(pos) * (2 * math.pi)
+    dim_t = torch.arange(8, dtype=torch.float32)
+    dim_t = 10000 ** (2 * (dim_t // 2) / 8)
+    px = p[..., 0, None] / dim_t
+    py = p[..., 1, None] / dim_t
+    px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), -1).flatten(-2)
+    py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), -1).flatten(-2)
+    want = torch.cat((py, px), dim=-1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

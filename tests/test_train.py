@@ -176,3 +176,38 @@ def test_prefetch_iterator_order_and_errors():
     with _pytest.raises(RuntimeError, match="pipeline died"):
         next(it)
         next(it)
+
+
+def test_train_step_with_camaware_and_timestamp_batch_keys():
+    """The cam-aware calib (intrinsics, ida_scale) and PETRv2
+    mean_time_stamp batch keys flow through shard_batch + the pjit train
+    step (mesh.py _CAM_KEYS shards the calib along the cam axis)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, head=dataclasses.replace(CFG.head, cam_aware=True)
+    )
+    model = GraphDETR4D(cfg)
+    mesh = make_mesh(jax.devices()[:2])
+    state = replicate(init_state(model, cfg, jax.random.PRNGKey(0)), mesh)
+    step_fn = build_train_step(model, cfg, mesh)
+    raw = synthetic_batch(cfg, batch_size=2, num_gt=4)
+    B, N = raw["lidar2img"].shape[:2]
+    intr = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    intr[..., 0, 0] = intr[..., 1, 1] = 400.0
+    raw["intrinsics"] = intr
+    raw["ida_scale"] = np.full((B, N), np.sqrt(2.0) * 0.4, np.float32)
+    raw["mean_time_stamp"] = np.asarray([0.5, 0.5], np.float32)
+    batch = shard_batch(
+        {k: jnp.asarray(v) for k, v in raw.items()}, mesh
+    )
+    rng = jax.device_put(
+        jax.random.PRNGKey(1),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    state, metrics = step_fn(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    # DepthNet params must receive gradient signal (gate is live)
+    assert "depth_net" in state.params["head"] or any(
+        "depth" in k for k in state.params["head"]
+    ), list(state.params["head"].keys())

@@ -182,6 +182,15 @@ class ModelConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     img_size: Tuple[int, int] = (320, 800)  # (H, W), /32-divisible
     bf16: bool = True  # compute dtype for conv/matmul heavy paths
+    # img_norm_cfg: the detr3d/detr4d families normalize RGB with
+    # ImageNet stats (configs/...12e.py:13-14, to_rgb=True); the
+    # petr/petrv2 families feed BGR (to_rgb=False) with caffe-style
+    # means — petr_r50dcn uses std=1 (petr_r50dcn_gridmask_p4.py:13-14),
+    # the vovnet/petrv2/BEVseg configs std=[57.375, 57.120, 58.395].
+    # mean/std are in the CONSUMED channel order (BGR when img_bgr).
+    img_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    img_bgr: bool = False  # model consumes BGR (reference to_rgb=False)
 
 
 def tiny_test_config() -> ModelConfig:

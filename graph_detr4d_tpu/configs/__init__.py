@@ -338,6 +338,13 @@ def _petr(backbone="resnet", img_size=(320, 800), **kw) -> ModelConfig:
         neck=NeckConfig(
             in_channels=(1024, 2048), start_level=0, num_outs=2, cp=True
         ),
+        # petr-family img_norm: BGR input (to_rgb=False), caffe means
+        # with std [57.375, 57.120, 58.395] (petrv2_*.py:13-16,
+        # petr_vovnet_*.py:13-14); the PETRv1 r50dcn configs override
+        # std to 1.0 below (petr_r50dcn_gridmask_p4.py:13-14)
+        img_mean=(103.530, 116.280, 123.675),
+        img_std=(57.375, 57.120, 58.395),
+        img_bgr=True,
     )
     cfg = dataclasses.replace(
         cfg, backbone=dataclasses.replace(cfg.backbone, out_indices=(2, 3))
@@ -353,7 +360,8 @@ def _petr(backbone="resnet", img_size=(320, 800), **kw) -> ModelConfig:
 
 @register("petr_r50dcn_gridmask_p4")
 def petr_r50():
-    return _petr()
+    # PETRv1 r50dcn: std=1.0 (petr_r50dcn_gridmask_p4.py:13-14)
+    return dataclasses.replace(_petr(), img_std=(1.0, 1.0, 1.0))
 
 
 @register("petr_vovnet_gridmask_p4_800x320")
@@ -391,6 +399,7 @@ def petr_c5():
             cfg.neck, in_channels=(2048,), start_level=0, num_outs=1
         ),
         head=dataclasses.replace(cfg.head, num_levels=1),
+        img_std=(1.0, 1.0, 1.0),  # petr_r50dcn_gridmask_c5.py:13-14
     )
 
 

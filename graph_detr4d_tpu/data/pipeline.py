@@ -15,7 +15,10 @@ datasets/pipelines/transform_3d.py:
   * PhotoMetricDistortionMultiViewImage (:687-784) — brightness/contrast/
     saturation/hue jitter.
 
-IMG_MEAN/STD match img_norm_cfg (configs/...12e.py:13-14).
+IMG_MEAN/STD are the detr3d/detr4d-family defaults (img_norm_cfg,
+configs/...12e.py:13-14, to_rgb=True). The petr/petrv2 families feed BGR
+with caffe-style means (to_rgb=False) — pass `img_norm=(mean, std, bgr)`
+from ModelConfig (img_mean/img_std/img_bgr) into build_batch.
 """
 
 from dataclasses import dataclass
@@ -168,8 +171,20 @@ def load_maps(map_filename: str) -> Tuple[np.ndarray, np.ndarray]:
     return gt_map, maps_to_patches(gt_map)
 
 
-def normalize_image(img: np.ndarray) -> np.ndarray:
-    return (img.astype(np.float32) - IMG_MEAN) / IMG_STD
+def normalize_image(
+    img: np.ndarray,
+    mean: np.ndarray = IMG_MEAN,
+    std: np.ndarray = IMG_STD,
+    bgr: bool = False,
+) -> np.ndarray:
+    """(img - mean) / std; `bgr=True` first reverses the channel order
+    (images load as RGB here; the reference loads BGR and to_rgb=False
+    keeps it, so mean/std are given in BGR order for those configs)."""
+    if bgr:
+        img = img[..., ::-1]
+    return (img.astype(np.float32) - np.asarray(mean, np.float32)) / (
+        np.asarray(std, np.float32)
+    )
 
 
 def pad_to_divisor(img: np.ndarray, divisor: int = 32) -> np.ndarray:
@@ -419,6 +434,7 @@ def build_batch(
     src_hw: Tuple[int, int] = (900, 1600),
     use_native: bool = False,
     aug=None,  # TrainConfig-like with .photometric/.ida_aug/.rot_aug
+    img_norm: Optional[Tuple] = None,  # (mean, std, bgr) from ModelConfig
 ) -> dict:
     """Assemble a fixed-shape batch dict from dataset samples (images
     loaded from disk, one shared ida per sample like the reference).
@@ -428,6 +444,11 @@ def build_batch(
     resize/crop/flip/normalize outside the GIL. Training keeps the
     python path (photometric distortion runs pre-resize)."""
     rng = rng or np.random.RandomState(0)
+    mean, std, bgr = (
+        img_norm if img_norm is not None else (IMG_MEAN, IMG_STD, False)
+    )
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
     # aug switches default to the flagship 'rotcropaug' behavior; the
     # reference's aug/rotaug variants flip these per config
     use_photo = training and (aug is None or aug.photometric)
@@ -467,13 +488,20 @@ def build_batch(
         if use_native and not training:
             from ..native import load_images
 
+            # the C++ loader normalizes in decoded (RGB) order; BGR
+            # configs normalize with channel-reversed mean/std then
+            # flip the normalized output — identical to flip-first
             imgs = load_images(
                 list(s["image_paths"]),
                 resize=p.resize,
                 crop_xy=(p.crop[0], p.crop[1]),
                 out_hw=final_hw,
                 flip=p.flip,
+                mean=tuple(mean[::-1] if bgr else mean),
+                std=tuple(std[::-1] if bgr else std),
             )
+            if bgr:
+                imgs = [im[..., ::-1] for im in imgs]
             ida4 = np.eye(4, dtype=np.float64)
             m3 = p.ida_mat()
             ida4[:2, :2] = m3[:2, :2]
@@ -498,7 +526,7 @@ def build_batch(
                 if use_photo:
                     img = photometric_distortion(img, rng)
                 img, m = apply_ida(img, l2i, p)
-                img = normalize_image(img)
+                img = normalize_image(img, mean, std, bgr)
                 img = pad_to_divisor(img)
                 cams.append(img)
                 mats.append(m)

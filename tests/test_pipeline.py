@@ -579,3 +579,50 @@ def test_dataset_sweeps_num_multi(tmp_path):
     st = ds_t.sample(0, temporal=True)
     assert len(st["image_paths"]) == 18
     assert st["image_paths"][6:12] == st["image_paths"][12:18]
+
+
+def test_img_norm_bgr_config_driven(tmp_path):
+    """petr-family img_norm parity: BGR input (to_rgb=False) with
+    caffe-style means (petr_r50dcn_gridmask_p4.py:13-14,
+    petrv2_*.py:13-16) — build_batch flips channels and normalizes in
+    BGR order when img_norm says so."""
+    try:
+        import cv2
+    except ImportError:
+        import pytest
+
+        pytest.skip("cv2 needed to synthesize jpegs")
+    from graph_detr4d_tpu.data.pipeline import build_batch
+    from graph_detr4d_tpu.configs import get_config
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "cam.jpg")
+    cv2.imwrite(p, img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 100])
+    sample = {
+        "image_paths": [p],
+        "lidar2img": np.eye(4, dtype=np.float32)[None],
+        "gt_bboxes": np.zeros((2, 9), np.float32),
+        "gt_labels": np.zeros((2,), np.int32),
+        "gt_valid": np.zeros((2,), np.float32),
+    }
+    kw = dict(final_hw=(32, 64), training=False, src_hw=(64, 128))
+    mean = (103.53, 116.28, 123.675)
+    std = (57.375, 57.12, 58.395)
+    b_bgr = build_batch([sample], img_norm=(mean, std, True), **kw)
+    b_rgb = build_batch([sample], **kw)
+    # undo both normalizations: raw BGR pixels == channel-flipped raw RGB
+    raw_bgr = b_bgr["images"][0, 0] * np.asarray(std) + np.asarray(mean)
+    from graph_detr4d_tpu.data.pipeline import IMG_MEAN, IMG_STD
+
+    raw_rgb = b_rgb["images"][0, 0] * IMG_STD + IMG_MEAN
+    np.testing.assert_allclose(raw_bgr, raw_rgb[..., ::-1], atol=1e-3)
+
+    # petr configs carry the reference img_norm_cfg
+    cfg = get_config("petr_r50dcn_gridmask_p4")
+    assert cfg.img_bgr and cfg.img_std == (1.0, 1.0, 1.0)
+    assert cfg.img_mean == (103.530, 116.280, 123.675)
+    cfg2 = get_config("petrv2_vovnet_gridmask_p4_800x320")
+    assert cfg2.img_bgr and cfg2.img_std == (57.375, 57.120, 58.395)
+    cfg3 = get_config("detr4d_res50_deform_pe_testaug_2subset_12e")
+    assert not cfg3.img_bgr

@@ -251,7 +251,10 @@ def main():
                 else:
                     s = ds.sample(i)
                 yield i, s, build_batch(
-                    [s], cfg.img_size, training=False
+                    [s],
+                    cfg.img_size,
+                    training=False,
+                    img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                 )
 
         # decode/resize of sample i+1..i+2 runs in a worker thread while

@@ -181,6 +181,7 @@ def main():
                     training=True,
                     rng=aug_rng,
                     aug=cfg.train,
+                    img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                 )
 
     eval_fn = None
@@ -203,7 +204,12 @@ def main():
             n = min(args.eval_samples, len(val_ds))
             for i in range(n):
                 s = val_ds.sample(i)
-                vb = build_batch([s], cfg.img_size, training=False)
+                vb = build_batch(
+                    [s],
+                    cfg.img_size,
+                    training=False,
+                    img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
+                )
                 det = eval_step(
                     state.params,
                     state.batch_stats,

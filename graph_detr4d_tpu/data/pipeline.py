@@ -273,7 +273,14 @@ def photometric_distortion(
     bgr2hsv/hsv2bgr :746-760 — hue rotation in degrees with 360 wrap);
     the last step permutes the color channels (:770-772). Like the
     reference, the output is NOT clipped to [0, 255] — normalization
-    consumes it as float."""
+    consumes it as float.
+
+    Channel-order nuance: the reference jitters mmcv-loaded BGR arrays;
+    here images load as RGB, so the hue rotation acts on RGB-interpreted
+    HSV (a hue reflection of the reference's distribution). Brightness/
+    contrast/saturation are channel-order invariant and the final random
+    channel swap further washes the difference out; train-aug
+    distribution only, no checkpoint-parity impact."""
     img = img.astype(np.float32)
     if rng.randint(2):
         img = img + rng.uniform(-32, 32)

@@ -442,6 +442,7 @@ def build_batch(
     use_native: bool = False,
     aug=None,  # TrainConfig-like with .photometric/.ida_aug/.rot_aug
     img_norm: Optional[Tuple] = None,  # (mean, std, bgr) from ModelConfig
+    resize_mult: float = 1.0,  # TTA: scale the ida resize (crop recenters)
 ) -> dict:
     """Assemble a fixed-shape batch dict from dataset samples (images
     loaded from disk, one shared ida per sample like the reference).
@@ -492,6 +493,18 @@ def build_batch(
         p = sample_ida_params(
             rng, eff_src, final_hw, training=training and use_ida
         )
+        if resize_mult != 1.0:
+            # test-time augmentation copy: perturb the eval resize and
+            # recenter the crop; the composed ida keeps projections
+            # consistent so aug_forward's feature average stays aligned
+            r = p.resize * resize_mult
+            newW, newH = int(eff_src[1] * r), int(eff_src[0] * r)
+            fH, fW = final_hw
+            cw = int(max(0, newW - fW) / 2)
+            ch = max(0, newH - fH)
+            p = IdaAugParams(
+                resize=r, crop=(cw, ch, cw + fW, ch + fH), flip=False
+            )
         if use_native and not training:
             from ..native import load_images
 

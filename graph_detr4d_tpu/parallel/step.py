@@ -143,6 +143,29 @@ def _with_mesh(fn, mesh: Mesh):
     return wrapped
 
 
+def build_tta_eval_step(model, cfg: ModelConfig):
+    """Test-time-augmentation eval step (detr3d.py aug_test :192-216 via
+    GraphDETR4D.aug_forward): per-level features are averaged across A
+    augmented image copies, the head runs once on the FIRST copy's
+    calibration, then the NMS-free decode. `images` is (A, B, N, H, W, 3)."""
+
+    def tta_step(params, batch_stats, images, lidar2img):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            list(images),
+            lidar2img,
+            method=model.aug_forward,
+        )
+        return decode_batch(
+            out,
+            max_num=cfg.coder.max_num,
+            post_center_range=cfg.coder.post_center_range,
+            score_threshold=cfg.coder.score_threshold,
+        )
+
+    return jax.jit(tta_step)
+
+
 def build_eval_step(model, cfg: ModelConfig, mesh: Optional[Mesh] = None):
     def eval_step(params, batch_stats, batch):
         out = model.apply(

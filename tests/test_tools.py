@@ -176,3 +176,79 @@ def test_eval_cli_pipelined_dataset(tmp_path):
     assert [res["token"] for res in results] == [
         f"sample-{i}" for i in range(4)
     ]
+
+
+def test_eval_cli_tta(tmp_path):
+    """--tta-resizes drives aug_forward feature averaging end-to-end:
+    same fixture as the pipelined test, two extra resize copies."""
+    import json
+    import pickle
+    import subprocess
+
+    from PIL import Image
+
+    from graph_detr4d_tpu.data.custom6cam import DEFAULT_CAMS
+
+    rng = np.random.RandomState(1)
+    infos = []
+    for idx in range(2):
+        K = np.eye(3)
+        K[0, 0] = K[1, 1] = 500.0
+        K[0, 2], K[1, 2] = 400.0, 160.0
+        center2lidar = np.eye(4)
+        cams = {}
+        for i, cam in enumerate(DEFAULT_CAMS):
+            img = (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+            p = str(tmp_path / f"{idx}_{cam}.jpg")
+            Image.fromarray(img).save(p)
+            ext = np.eye(4)
+            ext[:3, 3] = [0.1 * i, 0.0, 0.0]
+            cams[cam] = {
+                "timestamp": 1_000_000 + i,
+                "data_path": p,
+                "cam_intrinsic": K.reshape(-1).tolist(),
+                "extrinsic": ext.reshape(-1).tolist(),
+            }
+        infos.append(
+            {
+                "timestamp": 1_000_000,
+                "center2lidar": center2lidar.reshape(-1).tolist(),
+                "cams": cams,
+                "gt_boxes": rng.randn(2, 7).astype(np.float32),
+                "gt_names": ["VEHICLE_CAR", "PEDESTRIAN"],
+                "sweeps": [],
+            }
+        )
+    ann = str(tmp_path / "infos.pkl")
+    with open(ann, "wb") as f:
+        pickle.dump({"infos": infos}, f)
+
+    out_json = str(tmp_path / "results.json")
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "tools", "test.py"),
+            "--tiny",
+            "--dataset",
+            "custom6cam",
+            "--ann-file",
+            ann,
+            "--max-samples",
+            "2",
+            "--tta-resizes",
+            "1.0,0.9,1.1",
+            "--work-dir",
+            str(tmp_path / "wd"),
+            "--out",
+            out_json,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out_json) as f:
+        results = json.load(f)["results"]
+    assert len(results) == 2

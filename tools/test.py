@@ -50,6 +50,14 @@ def parse_args():
         "mode, the graph-detr3d branch behavior)",
     )
     p.add_argument(
+        "--tta-resizes",
+        default=None,
+        help="comma-separated ida resize multipliers for test-time "
+        "augmentation, e.g. '1.0,0.95,1.05' — per-level features are "
+        "averaged across the copies (aug_test parity, detr3d.py:192-216); "
+        "the first copy's calibration drives the head",
+    )
+    p.add_argument(
         "--cam-parallel",
         type=int,
         default=1,
@@ -140,7 +148,15 @@ def main():
             )
         else:
             dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        det = eval_step(state.params, state.batch_stats, dev_batch)
+        if dev_batch["images"].ndim == 6:  # (A, B, N, H, W, 3) TTA stack
+            det = tta_step(
+                state.params,
+                state.batch_stats,
+                dev_batch["images"],
+                dev_batch["lidar2img"],
+            )
+        else:
+            det = eval_step(state.params, state.batch_stats, dev_batch)
         _pending.append(
             (det, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs)
         )
@@ -244,18 +260,40 @@ def main():
             )
             if os.path.exists(stale):
                 os.remove(stale)
+        tta_mults = (
+            [float(x) for x in args.tta_resizes.split(",")]
+            if args.tta_resizes
+            else None
+        )
+        if tta_mults:
+            assert mesh is None and world == 1, (
+                "--tta-resizes is single-host/single-mesh only"
+            )
+            from graph_detr4d_tpu.parallel.step import build_tta_eval_step
+
+            tta_step = build_tta_eval_step(model, cfg)
+
         def sample_iter():
             for i in range(rank, n, world):
                 if args.no_temporal and args.dataset == "nuscenes":
                     s = ds.sample(i, temporal=False)
                 else:
                     s = ds.sample(i)
-                yield i, s, build_batch(
-                    [s],
-                    cfg.img_size,
+                kw = dict(
                     training=False,
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                 )
+                b = build_batch([s], cfg.img_size, **kw)
+                if tta_mults:
+                    copies = [b["images"]] + [
+                        build_batch(
+                            [s], cfg.img_size, resize_mult=m, **kw
+                        )["images"]
+                        for m in tta_mults
+                        if m != 1.0
+                    ]
+                    b["images"] = np.stack(copies)  # (A, B, N, H, W, 3)
+                yield i, s, b
 
         # decode/resize of sample i+1..i+2 runs in a worker thread while
         # the device evaluates sample i (numpy/PIL release the GIL)

@@ -169,6 +169,14 @@ def main():
             "lidar2img": [list(l2i.shape), str(l2i.dtype)],
         },
         "outputs": ["bboxes", "scores", "labels", "valid"],
+        # client-side preprocessing contract: images must arrive
+        # normalized as (raw - mean) / std in this channel order
+        # (bgr=True means the model consumes BGR — petr/petrv2 families)
+        "img_norm": {
+            "mean": list(cfg.img_mean),
+            "std": list(cfg.img_std),
+            "bgr": cfg.img_bgr,
+        },
     }
 
     if args.streaming:

@@ -345,6 +345,9 @@ def _petr(backbone="resnet", img_size=(320, 800), **kw) -> ModelConfig:
         img_mean=(103.530, 116.280, 123.675),
         img_std=(57.375, 57.120, 58.395),
         img_bgr=True,
+        # no PhotoMetricDistortion in ANY petr-family train pipeline
+        # (petr/petrv2/BEVseg configs list only ida + rot aug)
+        train=TrainConfig(photometric=False),
     )
     cfg = dataclasses.replace(
         cfg, backbone=dataclasses.replace(cfg.backbone, out_indices=(2, 3))

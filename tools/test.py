@@ -275,8 +275,12 @@ def main():
 
         def sample_iter():
             for i in range(rank, n, world):
-                if args.no_temporal and args.dataset == "nuscenes":
-                    s = ds.sample(i, temporal=False)
+                temporal = (
+                    not args.no_temporal
+                    and cfg.head.num_cams > cfg.head.num_frame_cams
+                )
+                if args.dataset == "nuscenes":
+                    s = ds.sample(i, temporal=temporal)
                 else:
                     s = ds.sample(i)
                 kw = dict(

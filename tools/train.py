@@ -174,7 +174,14 @@ def main():
                     idxs.append(int(order[i]))
                     i += 1
                 local = idxs[rank * local_bs : (rank + 1) * local_bs]
-                samples = [ds.sample(j) for j in local]
+                # temporal sampling iff the model's rig carries
+                # past-frame cameras (PETRv1/graph-detr3d are
+                # single-frame: their pipelines have no
+                # LoadMultiViewImageFromMultiSweepsFiles)
+                temporal = cfg.head.num_cams > cfg.head.num_frame_cams
+                samples = [
+                    ds.sample(j, temporal=temporal) for j in local
+                ]
                 yield build_batch(
                     samples,
                     cfg.img_size,
@@ -203,7 +210,10 @@ def main():
             evaluator = DetectionEvaluator()
             n = min(args.eval_samples, len(val_ds))
             for i in range(n):
-                s = val_ds.sample(i)
+                s = val_ds.sample(
+                    i,
+                    temporal=cfg.head.num_cams > cfg.head.num_frame_cams,
+                )
                 vb = build_batch(
                     [s],
                     cfg.img_size,

@@ -252,3 +252,115 @@ def test_eval_cli_tta(tmp_path):
     with open(out_json) as f:
         results = json.load(f)["results"]
     assert len(results) == 2
+
+
+def test_eval_cli_petrv2_nuscenes_temporal(tmp_path):
+    """petrv2 end-to-end through tools/test.py on a nuScenes-style
+    fixture: temporal sampling (12 cams from sweeps), mean_time_stamp
+    production, BGR caffe normalization, CPFPN neck — the full
+    petr-family integration path."""
+    import json
+    import pickle
+    import subprocess
+
+    from PIL import Image
+
+    from graph_detr4d_tpu.data.nuscenes import CAM_ORDER
+    from graph_detr4d_tpu.geometry.transforms import (
+        quaternion_to_rotation_matrix,
+    )
+
+    rng = np.random.RandomState(5)
+
+    def cam_entry(seed, idx):
+        r = np.random.RandomState(seed)
+        q = r.randn(4)
+        q /= np.linalg.norm(q)
+        img = (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"img{seed}.jpg")
+        Image.fromarray(img).save(p)
+        return {
+            "data_path": p,
+            "cam_intrinsic": np.array(
+                [[60.0, 0, 64], [0, 60.0, 32], [0, 0, 1]]
+            ),
+            "sensor2lidar_rotation": quaternion_to_rotation_matrix(q),
+            "sensor2lidar_translation": r.randn(3) * 0.1,
+            "sensor2ego_rotation": q,
+            "sensor2ego_translation": r.randn(3) * 0.1,
+            "ego2global_rotation": [1, 0, 0, 0],
+            "ego2global_translation": [10.0, 5.0, 0.0],
+            "timestamp": 1e15 + seed,
+        }
+
+    infos = []
+    for i in range(2):
+        sweep = {
+            cam: {
+                **cam_entry(500 + i * 10 + j, j),
+                "ego2global_rotation": [1, 0, 0, 0],
+                "ego2global_translation": [9.5, 5.0, 0.0],
+            }
+            for j, cam in enumerate(CAM_ORDER)
+        }
+        infos.append(
+            {
+                "token": f"tok{i}",
+                "timestamp": 1e15 + i * 5e5,
+                "cams": {
+                    cam: cam_entry(i * 10 + j, j)
+                    for j, cam in enumerate(CAM_ORDER)
+                },
+                "sweeps": [sweep] * 4,
+                "lidar2ego_rotation": [1, 0, 0, 0],
+                "lidar2ego_translation": [0.9, 0, 1.8],
+                "ego2global_rotation": [1, 0, 0, 0],
+                "ego2global_translation": [10.0, 5.0, 0.0],
+                "gt_boxes": rng.rand(2, 7).astype(np.float32) + 1,
+                "gt_names": np.array(["car", "bus"]),
+                "gt_velocity": rng.rand(2, 2).astype(np.float32),
+                "valid_flag": np.array([True, True]),
+            }
+        )
+    ann = str(tmp_path / "infos.pkl")
+    with open(ann, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "t"}}, f)
+
+    out_json = str(tmp_path / "results.json")
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "tools", "test.py"),
+            "--config",
+            "petrv2_res50_gridmask_p4_800x320",
+            "--cfg-options",
+            "img_size=(64,128)",
+            "head.num_query=24",
+            "head.embed_dims=64",
+            "head.ffn_dims=128",
+            "head.num_decoder_layers=2",
+            "head.depth_num=8",
+            "head.pe_num_feats=32",
+            "backbone.depth=18",
+            "backbone.use_dcn=False",
+            "coder.max_num=16",
+            "bf16=False",
+            "--ann-file",
+            ann,
+            "--max-samples",
+            "2",
+            "--work-dir",
+            str(tmp_path / "wd"),
+            "--out",
+            out_json,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(out_json) as f:
+        results = json.load(f)["results"]
+    assert len(results) == 2

@@ -379,8 +379,18 @@ def petr_vovnet_1600():
 
 @register("petrv2_res50_gridmask_p4_800x320")
 def petrv2_r50():
+    """Unlike every other petr-family config, petrv2_res50 uses the
+    flagship-style neck: r50 + DCN stages 3-4, out_indices=(0,1,2,3),
+    STANDARD 4-level FPN with start_level=1 and 'on_output' extra convs
+    (petrv2_res50_gridmask_p4_800x320.py:31-49) — position_level=0 is
+    the stride-8 map."""
     cfg = _petr(num_cams=12)
-    return dataclasses.replace(cfg, head_type="petrv2")
+    return dataclasses.replace(
+        cfg,
+        head_type="petrv2",
+        backbone=dataclasses.replace(cfg.backbone, out_indices=(0, 1, 2, 3)),
+        neck=NeckConfig(),  # flagship default: start_level=1, 4 outs
+    )
 
 
 @register("petrv2_vovnet_gridmask_p4_800x320")
@@ -391,16 +401,15 @@ def petrv2_vovnet():
 
 @register("petr_r50dcn_gridmask_c5")
 def petr_c5():
-    """PETR over the single C5 feature map (no pyramid;
-    configs/petr/petr_r50dcn_gridmask_c5.py:46 in_channels=2048). The
-    neck degenerates to one level starting at C5."""
+    """PETR over the single raw C5 feature map: the reference c5 config
+    has NO img_neck at all — the head's input_proj consumes the
+    2048-channel C5 directly (petr_r50dcn_gridmask_c5.py:46
+    in_channels=2048)."""
     cfg = _petr()
     return dataclasses.replace(
         cfg,
         backbone=dataclasses.replace(cfg.backbone, out_indices=(3,)),
-        neck=dataclasses.replace(
-            cfg.neck, in_channels=(2048,), start_level=0, num_outs=1
-        ),
+        neck=dataclasses.replace(cfg.neck, num_outs=0),  # neck-less
         head=dataclasses.replace(cfg.head, num_levels=1),
         img_std=(1.0, 1.0, 1.0),  # petr_r50dcn_gridmask_c5.py:13-14
     )

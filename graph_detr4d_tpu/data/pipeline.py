@@ -442,7 +442,9 @@ def build_batch(
     use_native: bool = False,
     aug=None,  # TrainConfig-like with .photometric/.ida_aug/.rot_aug
     img_norm: Optional[Tuple] = None,  # (mean, std, bgr) from ModelConfig
-    resize_mult: float = 1.0,  # TTA: scale the ida resize (crop recenters)
+    # TTA: extra ida-resize multipliers; images become an
+    # (A, B, N, H, W, 3) stack (copy 0 = base eval ida), decoded ONCE
+    tta_resize_mults: Optional[Sequence[float]] = None,
 ) -> dict:
     """Assemble a fixed-shape batch dict from dataset samples (images
     loaded from disk, one shared ida per sample like the reference).
@@ -465,6 +467,12 @@ def build_batch(
     images, l2is = [], []
     gtb, gtl, gtv = [], [], []
     maps, intrs, ida_scales = [], [], []
+    extra_mults = [m for m in (tta_resize_mults or ()) if m != 1.0]
+    extra_images = [[] for _ in extra_mults]
+    if extra_mults:
+        assert not training and not use_native, (
+            "tta_resize_mults is an eval-only python-path feature"
+        )
     if use_native and not training:
         from ..native import available
 
@@ -493,16 +501,17 @@ def build_batch(
         p = sample_ida_params(
             rng, eff_src, final_hw, training=training and use_ida
         )
-        if resize_mult != 1.0:
-            # test-time augmentation copy: perturb the eval resize and
-            # recenter the crop; the composed ida keeps projections
-            # consistent so aug_forward's feature average stays aligned
-            r = p.resize * resize_mult
+
+        def _tta_ida(mult):
+            # perturb the eval resize and recenter the crop; the
+            # composed ida keeps projections consistent so
+            # aug_forward's feature average stays aligned
+            r = p.resize * mult
             newW, newH = int(eff_src[1] * r), int(eff_src[0] * r)
             fH, fW = final_hw
             cw = int(max(0, newW - fW) / 2)
             ch = max(0, newH - fH)
-            p = IdaAugParams(
+            return IdaAugParams(
                 resize=r, crop=(cw, ch, cw + fW, ch + fH), flip=False
             )
         if use_native and not training:
@@ -545,11 +554,20 @@ def build_batch(
             for img, l2i in zip(imgs_raw, l2is_raw):
                 if use_photo:
                     img = photometric_distortion(img, rng)
-                img, m = apply_ida(img, l2i, p)
-                img = normalize_image(img, mean, std, bgr)
-                img = pad_to_divisor(img)
-                cams.append(img)
+                img_a, m = apply_ida(img, l2i, p)
+                img_a = normalize_image(img_a, mean, std, bgr)
+                cams.append(pad_to_divisor(img_a))
                 mats.append(m)
+            # extra TTA copies reuse the already-decoded images (no
+            # repeated JPEG I/O per multiplier)
+            for mi, mult in enumerate(extra_mults):
+                pm = _tta_ida(mult)
+                copy_cams = []
+                for img in imgs_raw:
+                    img_m, _ = apply_ida(img, np.eye(4), pm)
+                    img_m = normalize_image(img_m, mean, std, bgr)
+                    copy_cams.append(pad_to_divisor(img_m))
+                extra_images[mi].append(np.stack(copy_cams))
         mats = np.asarray(mats)
         if use_rot:
             mats, bboxes = global_rot_scale_trans(mats, bboxes, rng)
@@ -575,8 +593,13 @@ def build_batch(
                     np.float32,
                 )
             )
+    if extra_mults:
+        images = [np.stack(images)] + [np.stack(e) for e in extra_images]
+        images = np.stack(images)  # (A, B, N, H, W, 3)
+    else:
+        images = np.stack(images)
     batch = {
-        "images": np.stack(images),
+        "images": images,
         "lidar2img": np.stack(l2is).astype(np.float32),
         "gt_bboxes": np.stack(gtb),
         "gt_labels": np.stack(gtl),

@@ -53,23 +53,37 @@ class GraphDETR4D(nn.Module):
                 remat=self.cfg.backbone.remat,
                 dtype=dtype,
             )
-        self.neck = FPN(
-            out_channels=self.cfg.neck.out_channels,
-            start_level=self.cfg.neck.start_level,
-            num_outs=self.cfg.neck.num_outs,
-            relu_before_extra_convs=self.cfg.neck.relu_before_extra_convs,
-            cp=self.cfg.neck.cp,
-            dtype=dtype,
-        )
+        if self.cfg.neck.num_outs == 0:
+            # neck-less config (petr_r50dcn_gridmask_c5 has no img_neck:
+            # the head's input_proj consumes the raw C5 map)
+            self.neck = None
+        else:
+            self.neck = FPN(
+                out_channels=self.cfg.neck.out_channels,
+                start_level=self.cfg.neck.start_level,
+                num_outs=self.cfg.neck.num_outs,
+                relu_before_extra_convs=self.cfg.neck.relu_before_extra_convs,
+                cp=self.cfg.neck.cp,
+                dtype=dtype,
+            )
         if self.cfg.head_type in ("petr", "petrv2"):
             from .petr_head import PETRHead
 
+            is_v2 = self.cfg.head_type == "petrv2"
             self.head = PETRHead(
                 cfg=self.cfg.head,
                 img_shape=self.cfg.img_size,
                 position_range=self.cfg.head.petr_position_range,
                 lid=self.cfg.head.petr_lid,
-                with_time=self.cfg.head_type == "petrv2",
+                # PETRv2 structural deltas (petrv2_head.py): with_time,
+                # fpe SE gate on the coords PE (with_fpe=True in every
+                # v2 det config), grouped RegLayer (with_multi=True),
+                # per-layer deepcopied branches (:297-300). PETRv1 has
+                # none of these.
+                with_time=is_v2,
+                with_fpe=is_v2 and self.cfg.head.with_fpe,
+                with_multi=is_v2,
+                per_layer_branches=is_v2,
                 dtype=dtype,
             )
         elif self.cfg.head_type == "petr_seg":
@@ -112,7 +126,8 @@ class GraphDETR4D(nn.Module):
         x = images.reshape(B * N, H, W, 3).astype(dtype)
         x = constrain(x, ("data", "cam"))
         feats = self.backbone(x)
-        feats = self.neck(feats)
+        if self.neck is not None:
+            feats = self.neck(feats)
         return [
             constrain(
                 f.reshape(B, N, *f.shape[1:3], f.shape[-1]), "data", "cam"
@@ -124,11 +139,12 @@ class GraphDETR4D(nn.Module):
         self,
         images_list,  # list of (B, N, H, W, 3) augmented copies
         lidar2img: jnp.ndarray,  # (B, N, 4, 4) of the first (reference) aug
+        **head_kwargs,  # mean_time_stamp / intrinsics / ida_scale / ...
     ):
         """Test-time augmentation (detr3d.py aug_test/aug_test_pts
         :192-216): per-level feature maps are averaged across the
         augmented inputs, then the head runs once on the first view's
-        calibration."""
+        calibration (and its temporal/cam-aware side inputs)."""
         feats_per_aug = [
             self.extract_feats(im, False, None) for im in images_list
         ]
@@ -136,7 +152,9 @@ class GraphDETR4D(nn.Module):
             sum(level) / float(len(feats_per_aug))
             for level in zip(*feats_per_aug)
         ]
-        return self.head(mean_feats, lidar2img, deterministic=True)
+        return self.forward_feats(
+            mean_feats, lidar2img, train=False, **head_kwargs
+        )
 
     def forward_feats(
         self,

@@ -42,7 +42,7 @@ import flax.linen as nn
 from ..config import HeadConfig
 from .positional import sine_positional_encoding_3d, lid_depth_bins
 from .head import ClsBranch, RegBranch
-from .layers import TwoLayerMLP
+from .layers import SELayer, TwoLayerMLP
 from ..utils.math import inverse_sigmoid
 from ..geometry.projection import inv4x4
 
@@ -108,12 +108,55 @@ class PETRDecoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(query + y)
 
 
+class RegLayer(nn.Module):
+    """PETRv2's grouped regression branch (petrv2_head.py:58-88,
+    with_multi=True in every petrv2 det config): a shared
+    `num_fcs`-deep Linear+ReLU trunk, then one small MLP per group of
+    code dims (2, 1, 3, 2, 2), outputs concatenated in group order.
+    The loss/decode define the code semantics; the grouping only
+    shapes the parameters."""
+
+    embed_dims: int
+    groups: Tuple[int, ...] = (2, 1, 3, 2, 2)
+    num_fcs: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_fcs):
+            x = nn.Dense(
+                self.embed_dims, dtype=self.dtype, name=f"fc{i}"
+            )(x)
+            x = nn.relu(x)
+        outs = []
+        for t, g in enumerate(self.groups):
+            y = nn.Dense(
+                self.embed_dims, dtype=self.dtype, name=f"task{t}_fc"
+            )(x)
+            y = nn.relu(y)
+            outs.append(
+                nn.Dense(g, dtype=self.dtype, name=f"task{t}_out")(y)
+            )
+        return jnp.concatenate(outs, axis=-1)
+
+
 class PETRHead(nn.Module):
     cfg: HeadConfig
     img_shape: Tuple[int, int]
     position_range: Tuple[float, ...] = (-65.0, -65.0, -8.0, 65.0, 65.0, 8.0)
     lid: bool = False
     with_time: bool = False  # PETRv2 (petrv2_head.py:488-510)
+    # PETRv2 structural deltas (class defaults = PETRv1):
+    # SELayer gate on the coords PE before the sine add
+    # (petrv2_head.py:327-328, 453-454; with_fpe=True in every petrv2
+    # det config)
+    with_fpe: bool = False
+    # grouped RegLayer reg branch (petrv2_head.py:287, with_multi=True)
+    with_multi: bool = False
+    # PETRv1 SHARES one cls/reg branch across layers (petr_head.py:
+    # 240-243 repeats the same module); PETRv2 deepcopies per layer
+    # (petrv2_head.py:297-300 — independent trained weights)
+    per_layer_branches: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -171,6 +214,10 @@ class PETRHead(nn.Module):
         pos3d = TwoLayerMLP(
             C * 4, C, dtype=self.dtype, name="position_encoder"
         )(p3d.astype(self.dtype))
+        if self.with_fpe:
+            # fpe(coords_pe, x): SE of the projected features gates the
+            # PE (petrv2_head.py:453-454)
+            pos3d = SELayer(C, dtype=self.dtype, name="fpe")(pos3d, x)
 
         mask = jnp.zeros((B, N, H, W), jnp.float32)
         # petr configs use the sine default offset=0 (the flagship detr4d
@@ -196,15 +243,35 @@ class PETRHead(nn.Module):
         )(pos2posemb3d(ref, cfg.pe_num_feats).astype(self.dtype))
         query = jnp.zeros((B, cfg.num_query, C), self.dtype)
 
-        # ---- decoder + shared branches (no iterative refinement)
-        cls_branch = ClsBranch(
-            C, cfg.num_classes, cfg.num_reg_fcs, dtype=self.dtype,
-            name="cls_branch",
-        )
-        reg_branch = RegBranch(
-            C, cfg.code_size, cfg.num_reg_fcs, dtype=self.dtype,
-            name="reg_branch",
-        )
+        # ---- decoder + branches (no iterative refinement)
+        def make_cls(name):
+            return ClsBranch(
+                C, cfg.num_classes, cfg.num_reg_fcs, dtype=self.dtype,
+                name=name,
+            )
+
+        def make_reg(name):
+            if self.with_multi:
+                return RegLayer(
+                    C, num_fcs=cfg.num_reg_fcs, dtype=self.dtype, name=name
+                )
+            return RegBranch(
+                C, cfg.code_size, cfg.num_reg_fcs, dtype=self.dtype,
+                name=name,
+            )
+
+        if self.per_layer_branches:
+            cls_branches = [
+                make_cls(f"cls_branch{l}")
+                for l in range(cfg.num_decoder_layers)
+            ]
+            reg_branches = [
+                make_reg(f"reg_branch{l}")
+                for l in range(cfg.num_decoder_layers)
+            ]
+        else:
+            cls_branches = [make_cls("cls_branch")] * cfg.num_decoder_layers
+            reg_branches = [make_reg("reg_branch")] * cfg.num_decoder_layers
         ref_is = inverse_sigmoid(ref.astype(jnp.float32))
         # decoder-level post-norm, applied to EVERY intermediate output
         # before the branches (petr_transformer.py:443-445) but NOT fed
@@ -226,8 +293,8 @@ class PETRHead(nn.Module):
                 name=f"layer{lid_}",
             )(query, query_pos, memory, key_pos, deterministic)
             inter = post_norm(query)
-            score = cls_branch(inter).astype(jnp.float32)
-            tmp = reg_branch(inter).astype(jnp.float32)
+            score = cls_branches[lid_](inter).astype(jnp.float32)
+            tmp = reg_branches[lid_](inter).astype(jnp.float32)
             xy = jax.nn.sigmoid(tmp[..., 0:2] + ref_is[..., 0:2])
             z = jax.nn.sigmoid(tmp[..., 4:5] + ref_is[..., 2:3])
             cx = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]

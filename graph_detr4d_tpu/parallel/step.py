@@ -149,12 +149,16 @@ def build_tta_eval_step(model, cfg: ModelConfig):
     augmented image copies, the head runs once on the FIRST copy's
     calibration, then the NMS-free decode. `images` is (A, B, N, H, W, 3)."""
 
-    def tta_step(params, batch_stats, images, lidar2img):
+    def tta_step(params, batch_stats, images, lidar2img, extras):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             list(images),
             lidar2img,
             method=model.aug_forward,
+            mean_time_stamp=extras.get("mean_time_stamp"),
+            intrinsics=extras.get("intrinsics"),
+            ida_scale=extras.get("ida_scale"),
+            depth_factors=extras.get("depth_factors"),
         )
         return decode_batch(
             out,

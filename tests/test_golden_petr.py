@@ -165,9 +165,45 @@ class TransformerOracle(tnn.Module):
         self.decoder = DecoderOracle()
 
 
-class PETRHeadOracle(tnn.Module):
+class SELayerOracle(tnn.Module):
+    """petrv2_head.py:44-56: x * sigmoid(expand(relu(reduce(x_se))))."""
+
     def __init__(self):
         super().__init__()
+        self.conv_reduce = tnn.Conv2d(C, C, 1)
+        self.conv_expand = tnn.Conv2d(C, C, 1)
+
+    def forward(self, x, x_se):
+        x_se = self.conv_expand(torch.relu(self.conv_reduce(x_se)))
+        return x * torch.sigmoid(x_se)
+
+
+class RegLayerOracle(tnn.Module):
+    """petrv2_head.py:58-88 (with_multi): shared Linear+ReLU+Dropout
+    trunk, grouped task heads concatenated in order."""
+
+    def __init__(self, groups=(2, 1, 3, 2, 2)):
+        super().__init__()
+        trunk = []
+        for _ in range(2):
+            trunk += [tnn.Linear(C, C), tnn.ReLU(), tnn.Dropout(0.0)]
+        self.reg_branch = tnn.Sequential(*trunk)
+        self.task_heads = tnn.ModuleList(
+            [
+                tnn.Sequential(tnn.Linear(C, C), tnn.ReLU(), tnn.Linear(C, g))
+                for g in groups
+            ]
+        )
+
+    def forward(self, x):
+        x = self.reg_branch(x)
+        return torch.cat([h(x) for h in self.task_heads], -1)
+
+
+class PETRHeadOracle(tnn.Module):
+    def __init__(self, v2=False):
+        super().__init__()
+        self.v2 = v2
         self.input_proj = tnn.Conv2d(CIN, C, 1)
         self.position_encoder = tnn.Sequential(
             tnn.Conv2d(DNUM * 3, C * 4, 1), tnn.ReLU(), tnn.Conv2d(C * 4, C, 1)
@@ -198,13 +234,27 @@ class PETRHeadOracle(tnn.Module):
             tnn.ReLU(),
             tnn.Linear(C, CODE),
         )
-        # SHARED branch modules repeated per layer (petr_head.py:240-243)
-        self.cls_branches = tnn.ModuleList(
-            [cls_branch for _ in range(NLAYERS)]
-        )
-        self.reg_branches = tnn.ModuleList(
-            [reg_branch for _ in range(NLAYERS)]
-        )
+        if v2:
+            # PETRv2: fpe SE gate + per-layer DEEPCOPIED branches +
+            # grouped RegLayer (petrv2_head.py:297-300, 287, 327-328)
+            import copy
+
+            self.fpe = SELayerOracle()
+            self.cls_branches = tnn.ModuleList(
+                [copy.deepcopy(cls_branch) for _ in range(NLAYERS)]
+            )
+            self.reg_branches = tnn.ModuleList(
+                [RegLayerOracle() for _ in range(NLAYERS)]
+            )
+        else:
+            # PETRv1: SHARED branch modules repeated per layer
+            # (petr_head.py:240-243)
+            self.cls_branches = tnn.ModuleList(
+                [cls_branch for _ in range(NLAYERS)]
+            )
+            self.reg_branches = tnn.ModuleList(
+                [reg_branch for _ in range(NLAYERS)]
+            )
 
     def position_embeding(self, feat, lidar2img, lid):
         eps = 1e-5
@@ -252,6 +302,10 @@ class PETRHeadOracle(tnn.Module):
         # feat: (B, N, CIN, H, W)
         x = self.input_proj(feat.flatten(0, 1)).view(B, N, C, H, W)
         pos_embed = self.position_embeding(feat, lidar2img, lid)
+        if self.v2:
+            pos_embed = self.fpe(
+                pos_embed.flatten(0, 1), x.flatten(0, 1)
+            ).view(x.size())
         masks = torch.zeros((B, N, H, W), dtype=torch.bool)
         sin_embed = sine_pe_3d_t(masks)  # (B, N, 3*NFEATS, H, W)
         sin_embed = self.adapt_pos3d(sin_embed.flatten(0, 1)).view(x.size())
@@ -340,11 +394,19 @@ def _head_cfg():
 
 
 @pytest.mark.parametrize(
-    "lid,with_time", [(True, False), (False, False), (True, True)]
+    "lid,with_time,v2",
+    [
+        (True, False, False),
+        (False, False, False),
+        (True, True, False),
+        # PETRv2 structural mode: fpe SE gate + per-layer deepcopied
+        # branches + grouped RegLayer, all through the converter
+        (True, True, True),
+    ],
 )
-def test_petr_head_matches_torch_oracle(lid, with_time):
+def test_petr_head_matches_torch_oracle(lid, with_time, v2):
     torch.manual_seed(3)
-    oracle = PETRHeadOracle().eval()
+    oracle = PETRHeadOracle(v2=v2).eval()
     # non-degenerate weights everywhere
     with torch.no_grad():
         for p in oracle.parameters():
@@ -371,6 +433,9 @@ def test_petr_head_matches_torch_oracle(lid, with_time):
         position_range=PRANGE,
         lid=lid,
         with_time=with_time,
+        with_fpe=v2,
+        with_multi=v2,
+        per_layer_branches=v2,
     )
     feats_j = jnp.asarray(feat.numpy().transpose(0, 1, 3, 4, 2))
     # structure check: converted tree must exactly match a fresh init

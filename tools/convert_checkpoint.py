@@ -273,19 +273,48 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
             sd,
             f"{hd}.transformer.decoder.post_norm",
         )
-        # shared branches: every cls_branches.{i} aliases the same tensors
-        cls_src = f"{hd}.cls_branches.0"
-        dst = ["head", "cls_branch"]
-        lin(dst + ["fc0"], f"{cls_src}.0")
-        lin_ln(params, dst + ["ln0"], sd, f"{cls_src}.1")
-        lin(dst + ["fc1"], f"{cls_src}.3")
-        lin_ln(params, dst + ["ln1"], sd, f"{cls_src}.4")
-        lin(dst + ["out"], f"{cls_src}.6")
-        reg_src = f"{hd}.reg_branches.0"
-        dst = ["head", "reg_branch"]
-        lin(dst + ["fc0"], f"{reg_src}.0")
-        lin(dst + ["fc1"], f"{reg_src}.2")
-        lin(dst + ["out"], f"{reg_src}.4")
+        # fpe SE gate on the coords PE (petrv2_head.py:327-328)
+        if f"{hd}.fpe.conv_reduce.weight" in sd:
+            conv(["head", "fpe", "reduce"], f"{hd}.fpe.conv_reduce",
+                 bias=True)
+            conv(["head", "fpe", "expand"], f"{hd}.fpe.conv_expand",
+                 bias=True)
+
+        def cls_map(dst, src):
+            lin(dst + ["fc0"], f"{src}.0")
+            lin_ln(params, dst + ["ln0"], sd, f"{src}.1")
+            lin(dst + ["fc1"], f"{src}.3")
+            lin_ln(params, dst + ["ln1"], sd, f"{src}.4")
+            lin(dst + ["out"], f"{src}.6")
+
+        if f"{hd}.reg_branches.0.reg_branch.0.weight" in sd:
+            # PETRv2: per-layer deepcopied branches (petrv2_head.py:
+            # 297-300) + grouped RegLayer (with_multi, :58-88) — trunk
+            # Sequential is [Linear, ReLU, Dropout] x num_fcs (Linears
+            # at 0, 3), task heads [Linear, ReLU, Linear] (0, 2)
+            lvl = 0
+            while f"{hd}.cls_branches.{lvl}.0.weight" in sd:
+                cls_map(["head", f"cls_branch{lvl}"],
+                        f"{hd}.cls_branches.{lvl}")
+                rsrc = f"{hd}.reg_branches.{lvl}"
+                dst = ["head", f"reg_branch{lvl}"]
+                lin(dst + ["fc0"], f"{rsrc}.reg_branch.0")
+                lin(dst + ["fc1"], f"{rsrc}.reg_branch.3")
+                t = 0
+                while f"{rsrc}.task_heads.{t}.0.weight" in sd:
+                    lin(dst + [f"task{t}_fc"], f"{rsrc}.task_heads.{t}.0")
+                    lin(dst + [f"task{t}_out"], f"{rsrc}.task_heads.{t}.2")
+                    t += 1
+                lvl += 1
+        else:
+            # PETRv1/seg: every cls_branches.{i} aliases the SAME tensors
+            # (petr_head.py:240-243) — map index 0 into the shared branch
+            cls_map(["head", "cls_branch"], f"{hd}.cls_branches.0")
+            reg_src = f"{hd}.reg_branches.0"
+            dst = ["head", "reg_branch"]
+            lin(dst + ["fc0"], f"{reg_src}.0")
+            lin(dst + ["fc1"], f"{reg_src}.2")
+            lin(dst + ["out"], f"{reg_src}.4")
         return {"params": params, "batch_stats": stats}
 
     if f"{hd}.transformer.reference_points.weight" not in sd:

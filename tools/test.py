@@ -154,6 +154,11 @@ def main():
                 state.batch_stats,
                 dev_batch["images"],
                 dev_batch["lidar2img"],
+                {
+                    k: v
+                    for k, v in dev_batch.items()
+                    if k not in ("images", "lidar2img")
+                },
             )
         else:
             det = eval_step(state.params, state.batch_stats, dev_batch)
@@ -283,20 +288,13 @@ def main():
                     s = ds.sample(i, temporal=temporal)
                 else:
                     s = ds.sample(i)
-                kw = dict(
+                b = build_batch(
+                    [s],
+                    cfg.img_size,
                     training=False,
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
+                    tta_resize_mults=tta_mults,
                 )
-                b = build_batch([s], cfg.img_size, **kw)
-                if tta_mults:
-                    copies = [b["images"]] + [
-                        build_batch(
-                            [s], cfg.img_size, resize_mult=m, **kw
-                        )["images"]
-                        for m in tta_mults
-                        if m != 1.0
-                    ]
-                    b["images"] = np.stack(copies)  # (A, B, N, H, W, 3)
                 yield i, s, b
 
         # decode/resize of sample i+1..i+2 runs in a worker thread while
@@ -304,11 +302,19 @@ def main():
         from graph_detr4d_tpu.train.trainer import PrefetchIterator
 
         for i, s, batch in PrefetchIterator(sample_iter(), depth=2):
+            dev = {
+                "images": batch["images"],
+                "lidar2img": batch["lidar2img"],
+            }
+            # optional model inputs must reach eval_step too: PETRv2's
+            # velocity/Δt division and the cam-aware DepthNet otherwise
+            # silently fall back (None / identity intrinsics)
+            for k in ("mean_time_stamp", "intrinsics", "ida_scale",
+                      "depth_factors"):
+                if k in batch:
+                    dev[k] = batch[k]
             run_batch(
-                {
-                    "images": batch["images"],
-                    "lidar2img": batch["lidar2img"],
-                },
+                dev,
                 batch["gt_bboxes"],
                 batch["gt_labels"],
                 batch["gt_valid"],

@@ -220,13 +220,22 @@ def main():
                     training=False,
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                 )
+                dev = {
+                    "images": jnp.asarray(vb["images"]),
+                    "lidar2img": jnp.asarray(vb["lidar2img"]),
+                }
+                for k in (
+                    "mean_time_stamp",
+                    "intrinsics",
+                    "ida_scale",
+                    "depth_factors",
+                ):
+                    if k in vb:
+                        dev[k] = jnp.asarray(vb[k])
                 det = eval_step(
                     state.params,
                     state.batch_stats,
-                    {
-                        "images": jnp.asarray(vb["images"]),
-                        "lidar2img": jnp.asarray(vb["lidar2img"]),
-                    },
+                    dev,
                 )
                 keep = np.asarray(det.valid[0])
                 gkeep = vb["gt_valid"][0] > 0

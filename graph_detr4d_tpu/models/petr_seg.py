@@ -26,7 +26,7 @@ from ..config import HeadConfig
 from .positional import sine_positional_encoding_3d, lid_depth_bins
 from .petr_head import PETRDecoderLayer, pos2posemb3d
 from .head import ClsBranch, RegBranch
-from .layers import SELayer, TwoLayerMLP
+from .layers import MLP, SELayer, TwoLayerMLP
 from ..utils.math import inverse_sigmoid
 from ..geometry.projection import inv4x4
 
@@ -223,15 +223,15 @@ class PETRHeadSeg(nn.Module):
             C, cfg.code_size, cfg.num_reg_fcs, dtype=self.dtype,
             name="reg_branch",
         )
-        # one lane branch instance shared across layers (petr_head_seg.py:334)
-        lane_branch = nn.Sequential(
-            [
-                nn.Dense(C, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(C, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(self.lane_out, dtype=self.dtype),
-            ],
+        # one lane branch instance shared across layers
+        # (petr_head_seg.py:334-336); MLP gives the Denses a proper child
+        # scope — inline nn.Sequential would leak them into the head's
+        # top-level scope with fragile auto-names (see layers.TwoLayerMLP)
+        lane_branch = MLP(
+            C,
+            self.lane_out,
+            num_hidden_layers=cfg.num_reg_fcs,
+            dtype=self.dtype,
             name="lane_branch",
         )
 

@@ -279,6 +279,52 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
                  bias=True)
             conv(["head", "fpe", "expand"], f"{hd}.fpe.conv_expand",
                  bias=True)
+        # seg variant's `se` gate on the coords PE (with_se,
+        # petr_head_seg.py:362-363, 507-508)
+        if f"{hd}.se.conv_reduce.weight" in sd:
+            conv(["head", "se", "reduce"], f"{hd}.se.conv_reduce", bias=True)
+            conv(["head", "se", "expand"], f"{hd}.se.conv_expand", bias=True)
+        # seg variant's lane stream (petr_head_seg.py:313-318, 365-374,
+        # 544-548): query_embedding_lane MLP, a SECOND PETRTransformer
+        # with its own post_norm, and the lane branch shared across
+        # layers (lane_branches.{i} all alias the same tensors)
+        if f"{hd}.query_embedding_lane.0.weight" in sd:
+            for j, tidx in enumerate((0, 2)):
+                lin(
+                    ["head", "query_embedding_lane", f"Dense_{j}"],
+                    f"{hd}.query_embedding_lane.{tidx}",
+                )
+            lid = 0
+            while (
+                f"{hd}.transformer_lane.decoder.layers.{lid}.norms.0.weight"
+                in sd
+            ):
+                lsrc = f"{hd}.transformer_lane.decoder.layers.{lid}"
+                dst = ["head", f"lane_layer{lid}"]
+                mha(dst + ["self_attn"], f"{lsrc}.attentions.0.attn")
+                mha(dst + ["cross_attn"], f"{lsrc}.attentions.1.attn")
+                lin(dst + ["Dense_0"], f"{lsrc}.ffns.0.layers.0.0")
+                lin(dst + ["Dense_1"], f"{lsrc}.ffns.0.layers.1")
+                for ni in range(3):
+                    lin_ln(
+                        params, dst + [f"norm{ni + 1}"], sd,
+                        f"{lsrc}.norms.{ni}",
+                    )
+                lid += 1
+            lin_ln(
+                params,
+                ["head", "lane_post_norm"],
+                sd,
+                f"{hd}.transformer_lane.decoder.post_norm",
+            )
+            # [Linear, ReLU] x num_reg_fcs + Linear(lane_out): torch
+            # Sequential indices 0, 2, ... -> MLP fc{i} + out
+            t, j = 0, 0
+            while f"{hd}.lane_branches.0.{t + 2}.weight" in sd:
+                lin(["head", "lane_branch", f"fc{j}"],
+                    f"{hd}.lane_branches.0.{t}")
+                t, j = t + 2, j + 1
+            lin(["head", "lane_branch", "out"], f"{hd}.lane_branches.0.{t}")
 
         def cls_map(dst, src):
             lin(dst + ["fc0"], f"{src}.0")
@@ -316,6 +362,31 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
             lin(dst + ["fc1"], f"{reg_src}.2")
             lin(dst + ["out"], f"{reg_src}.4")
         return {"params": params, "batch_stats": stats}
+
+    # camera-aware DepthNet (Detr3DHeadPECAM, detr3d_head_pe_camaware.py:
+    # 59-105, one instance shared across levels :198, 314-319).
+    # `context_conv` is DEAD in the reference forward (computed but never
+    # returned, :84-85) and is skipped. Mapped before the head-presence
+    # early-out so module-level fixtures convert too.
+    if f"{hd}.depth_net.reduce_conv.0.weight" in sd:
+        conv(
+            ["head", "depth_net", "reduce_conv"],
+            f"{hd}.depth_net.reduce_conv.0",
+            bias=True,
+        )
+        bn(["head", "depth_net", "reduce_bn"], f"{hd}.depth_net.reduce_conv.1")
+        lin(["head", "depth_net", "mlp", "Dense_0"], f"{hd}.depth_net.mlp.fc1")
+        lin(["head", "depth_net", "mlp", "Dense_1"], f"{hd}.depth_net.mlp.fc2")
+        conv(
+            ["head", "depth_net", "se", "reduce"],
+            f"{hd}.depth_net.se.conv_reduce",
+            bias=True,
+        )
+        conv(
+            ["head", "depth_net", "se", "expand"],
+            f"{hd}.depth_net.se.conv_expand",
+            bias=True,
+        )
 
     if f"{hd}.transformer.reference_points.weight" not in sd:
         # backbone/neck-only state dict (e.g. a VoVNet .pth)

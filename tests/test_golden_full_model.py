@@ -255,8 +255,9 @@ class TorchDecoderLayer(nn.Module):
         self.ffns = nn.ModuleList([TorchFFN()])
         self.norms = nn.ModuleList([nn.LayerNorm(C) for _ in range(3)])
 
-    def forward(self, query, query_pos, value, reference_points, lidar2img):
-        q = self.attentions[0](query, query_pos)
+    def forward(self, query, query_pos, value, reference_points, lidar2img,
+                attn_mask=None):
+        q = self.attentions[0](query, query_pos, attn_mask=attn_mask)
         q = self.norms[0](q)
         q = self.attentions[1](q, value, query_pos, reference_points,
                                lidar2img)
@@ -271,11 +272,14 @@ class SelfAttnWrap(nn.Module):
         super().__init__()
         self.attn = nn.MultiheadAttention(C, HEADS, dropout=0.0)
 
-    def forward(self, query, query_pos):
+    def forward(self, query, query_pos, attn_mask=None):
         # mmcv MultiheadAttention: q = k = query + pos, v = query,
-        # out = query + attn_out
+        # out = query + attn_out; attn_mask True = BLOCKED (torch bool
+        # semantics; H-DETR passes the group-isolation mask,
+        # h_detr3d_head_pe.py:299-304)
         qk = query + query_pos
-        out, _ = self.attn(qk, qk, query, need_weights=False)
+        out, _ = self.attn(qk, qk, query, need_weights=False,
+                           attn_mask=attn_mask)
         return query + out
 
 
@@ -302,7 +306,8 @@ class TorchTransformer(nn.Module):
             [TorchDecoderLayer() for _ in range(LAYERS)]
         )
 
-    def forward(self, mlvl_feats, query_embed, reg_branches, lidar2img):
+    def forward(self, mlvl_feats, query_embed, reg_branches, lidar2img,
+                attn_mask=None):
         bs = mlvl_feats[0].size(0)
         query_pos, query = torch.split(query_embed, C, dim=1)
         query_pos = query_pos.unsqueeze(0).expand(bs, -1, -1)
@@ -316,7 +321,7 @@ class TorchTransformer(nn.Module):
         intermediate, inter_refs = [], []
         for lid, layer in enumerate(self.decoder.layers):
             output = layer(output, query_pos, mlvl_feats, reference_points,
-                           lidar2img)
+                           lidar2img, attn_mask=attn_mask)
             out_b = output.permute(1, 0, 2)
             tmp = reg_branches[lid](out_b)
             new_ref = torch.zeros_like(reference_points)
@@ -592,4 +597,141 @@ def test_full_head_matches_torch_oracle():
     )
     np.testing.assert_array_equal(
         np.asarray(det_j.labels), np.asarray(det_t.labels)
+    )
+
+
+Q2M = 5  # one2many group size for the hybrid test
+
+
+class TorchHDetr3DHeadPE(TorchDetr3DHeadPE):
+    """HDetr3DHeadPE (h_detr3d_head_pe.py:40-693): the PE head with
+    num_queries_one2one + num_queries_one2many queries, a self-attn mask
+    isolating the two groups (True = blocked, :299-304), and outputs
+    split into one2one / one2many streams (:361-364)."""
+
+    def __init__(self):
+        super().__init__()
+        self.query_embedding = nn.Embedding(Q + Q2M, C * 2)
+
+    def forward(self, mlvl_feats, lidar2img):
+        pes = self.position_embeding(mlvl_feats, lidar2img)
+        feats = []
+        for level_id in range(len(mlvl_feats)):
+            feat = mlvl_feats[level_id]
+            Bs, Nc, _, H, W = feat.shape
+            pe = self.fpe(
+                pes[level_id].flatten(0, 1), feat.flatten(0, 1)
+            ).view(feat.size())
+            mask = torch.zeros((Bs, Nc, H, W))
+            sin = sine_pe_3d_t(mask, PE_FEATS)
+            sin = self.adapt_pos3d(sin.flatten(0, 1)).view(feat.size())
+            feats.append(feat + pe + sin)
+
+        nq = Q + Q2M
+        self_attn_mask = torch.zeros([nq, nq]).bool()
+        self_attn_mask[Q:, 0:Q] = True
+        self_attn_mask[0:Q, Q:] = True
+
+        query_embeds = self.query_embedding.weight
+        hs, init_reference, inter_references = self.transformer(
+            feats, query_embeds, self.reg_branches, lidar2img,
+            attn_mask=self_attn_mask,
+        )
+        outputs_classes, outputs_coords = [], []
+        for lvl in range(hs.shape[0]):
+            reference = (
+                init_reference if lvl == 0 else inter_references[lvl - 1]
+            )
+            reference = inverse_sigmoid_t(reference)
+            outputs_class = self.cls_branches[lvl](hs[lvl])
+            tmp = self.reg_branches[lvl](hs[lvl])
+            tmp = tmp.clone()
+            tmp[..., 0:2] = (tmp[..., 0:2] + reference[..., 0:2]).sigmoid()
+            tmp[..., 4:5] = (tmp[..., 4:5] + reference[..., 2:3]).sigmoid()
+            pc = PC_RANGE
+            tmp[..., 0:1] = tmp[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+            tmp[..., 1:2] = tmp[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+            tmp[..., 4:5] = tmp[..., 4:5] * (pc[5] - pc[2]) + pc[2]
+            outputs_classes.append(outputs_class)
+            outputs_coords.append(tmp)
+        all_cls = torch.stack(outputs_classes)
+        all_box = torch.stack(outputs_coords)
+        return (
+            all_cls[:, :, :Q],
+            all_box[:, :, :Q],
+            all_cls[:, :, Q:],
+            all_box[:, :, Q:],
+        )
+
+
+def test_hybrid_head_matches_torch_oracle():
+    """HDetr3DHeadPE golden: group-isolating self-attn mask + one2one /
+    one2many output split, through the converter."""
+    import dataclasses
+
+    torch.manual_seed(1)
+    oracle = TorchHDetr3DHeadPE().eval()
+
+    rng = np.random.RandomState(1)
+    feats_np = [
+        rng.randn(B, N, C, h, w).astype(np.float32) * 0.5
+        for h, w in FEAT_SHAPES
+    ]
+    l2i_np = np.broadcast_to(_camera_rig(), (B, N, 4, 4)).copy()
+
+    with torch.no_grad():
+        t_cls, t_box, t_cls2m, t_box2m = oracle(
+            [torch.from_numpy(f) for f in feats_np],
+            torch.from_numpy(l2i_np),
+        )
+
+    sd = {
+        "pts_bbox_head." + k: v.detach().numpy()
+        for k, v in oracle.state_dict().items()
+    }
+    converted = convert_state_dict(sd, num_decoder_layers=LAYERS,
+                                   nheads=HEADS)
+
+    cfg = dataclasses.replace(_head_cfg(), num_query_one2many=Q2M)
+    head = Detr3DHeadPE(cfg, img_shape=(IMG_H, IMG_W))
+    feats_j = [
+        jnp.asarray(np.transpose(f, (0, 1, 3, 4, 2))) for f in feats_np
+    ]
+    l2i_j = jnp.asarray(l2i_np)
+    variables = head.init(jax.random.PRNGKey(0), feats_j, l2i_j)
+
+    conv_head = converted["params"]["head"]
+    init_params = variables["params"]
+
+    def graft(dst, src, path=""):
+        out = {}
+        for k in dst:
+            assert k in src, f"converter missing {path}/{k}"
+            if isinstance(dst[k], dict):
+                out[k] = graft(dst[k], src[k], path + "/" + k)
+            else:
+                assert (
+                    np.asarray(src[k]).shape == np.asarray(dst[k]).shape
+                ), f"shape mismatch at {path}/{k}"
+                out[k] = jnp.asarray(np.asarray(src[k], np.float32))
+        return out
+
+    params = graft(init_params, conv_head)
+    j_out = head.apply({"params": params}, feats_j, l2i_j,
+                       deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(j_out["all_cls_scores"]), t_cls.numpy(),
+        atol=2e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["all_bbox_preds"]), t_box.numpy(),
+        atol=2e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["all_cls_scores_one2many"]), t_cls2m.numpy(),
+        atol=2e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["all_bbox_preds_one2many"]), t_box2m.numpy(),
+        atol=2e-4, rtol=1e-4,
     )

@@ -23,6 +23,10 @@ _failed = False
 
 
 def _build() -> bool:
+    # compile to a process-private temp name, then rename: the .so lives
+    # on a shared filesystem (multi-host ranks), and a concurrent
+    # process dlopen-ing a half-written file corrupts its load
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     cmd = [
         "g++",
         "-O3",
@@ -30,7 +34,7 @@ def _build() -> bool:
         "-fPIC",
         _SRC,
         "-o",
-        _SO,
+        tmp,
         "-ljpeg",
         "-lpthread",
     ]
@@ -38,8 +42,23 @@ def _build() -> bool:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
         )
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    try:
+        # prebuilt .so shipped without the source: just use it
+        return os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+    except OSError:
         return False
 
 
@@ -48,9 +67,7 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(
-            _SO
-        ) < os.path.getmtime(_SRC):
+        if _needs_build():
             if not _build():
                 _failed = True
                 return None

@@ -59,6 +59,14 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels, int* width,
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+  // reject absurd headers (truncated/corrupt files can declare huge
+  // dimensions) before attempting a multi-GB allocation
+  if (cinfo.image_width == 0 || cinfo.image_height == 0 ||
+      uint64_t(cinfo.image_width) * cinfo.image_height > (64ull << 20)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
 
@@ -136,14 +144,22 @@ extern "C" int grd4d_load_images(const char** paths, int n, double resize,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      int sw = 0, sh = 0;
-      if (!decode_jpeg(paths[i], &pixels, &sw, &sh)) {
+      // an exception escaping a std::thread entry calls std::terminate
+      // and takes the whole Python process with it — count the image as
+      // failed instead (std::bad_alloc from a corrupt header's resize,
+      // or anything else)
+      try {
+        int sw = 0, sh = 0;
+        if (!decode_jpeg(paths[i], &pixels, &sw, &sh)) {
+          failed.fetch_add(1);
+          continue;
+        }
+        sample_one(pixels.data(), sh, sw, resize, crop_x, crop_y, out_h,
+                   out_w, flip, mean, inv_std,
+                   out + size_t(i) * out_h * out_w * 3);
+      } catch (...) {
         failed.fetch_add(1);
-        continue;
       }
-      sample_one(pixels.data(), sh, sw, resize, crop_x, crop_y, out_h, out_w,
-                 flip, mean, inv_std,
-                 out + size_t(i) * out_h * out_w * 3);
     }
   };
 

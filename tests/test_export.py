@@ -94,6 +94,59 @@ def test_export_cli_and_run(tmp_path):
     assert line["artifact"] == out_dir
 
 
+def test_export_extras_cli(tmp_path):
+    """Configs that need serving-time extras (cam_aware -> intrinsics +
+    ida_scale, scale_pred -> depth_factors) must export them as artifact
+    inputs — a (images, lidar2img)-only signature would silently run
+    DepthNet with identity intrinsics (models/head.py fallback). The
+    --run smoke path feeds them from the manifest."""
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    out_dir = str(tmp_path / "export_extras")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "export_model.py"),
+            "--tiny",
+            "--cfg-options",
+            "head.cam_aware=True",
+            "head.scale_pred=True",
+            "--platforms",
+            "cpu",
+            "--out",
+            out_dir,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "verify: deserialized artifact matches" in r.stdout
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["extras"] == ["intrinsics", "ida_scale", "depth_factors"]
+    B, N = manifest["batch_size"], manifest["num_cams"]
+    assert manifest["inputs"]["intrinsics"][0] == [B, N, 4, 4]
+    assert manifest["inputs"]["ida_scale"][0] == [B, N]
+    assert manifest["inputs"]["depth_factors"][0] == [B]
+
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "export_model.py"),
+            "--run",
+            out_dir,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    line = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line["artifact"] == out_dir
+
+
 def test_export_streaming_cli(tmp_path):
     """--streaming exports encode+head programs whose composition the
     CLI itself verifies against monolithic inference (printed marker);
@@ -127,3 +180,21 @@ def test_export_streaming_cli(tmp_path):
     assert len(s["feat_keys"]) == len(s["feat_shapes"])
     # per-level feature shapes carry num_frame_cams on the camera axis
     assert all(fs[1] == s["num_frame_cams"] for fs in s["feat_shapes"])
+
+    # --run must smoke streaming artifacts too (encode+head composition),
+    # not crash on the missing model.jaxexport
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "export_model.py"),
+            "--run",
+            out_dir,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    line = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line["streaming"] is True

@@ -343,6 +343,58 @@ def test_native_loader_matches_python_path(tmp_path):
     assert float(np.abs(nat - ref).mean()) < 0.06  # PIL downscale differs
 
 
+def test_native_loader_corrupt_files_fail_cleanly(tmp_path):
+    """Corrupt inputs must surface as RuntimeError, never kill the
+    process: a truncated file, a non-JPEG, and — the dangerous one — a
+    JPEG whose SOF header declares absurd dimensions (a multi-GB resize
+    allocation would throw std::bad_alloc inside a C++ worker thread,
+    which uncaught calls std::terminate). loader.cpp rejects huge
+    headers at parse time and catches everything else per image."""
+    import pytest
+
+    from graph_detr4d_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain/libjpeg unavailable")
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 needed to synthesize jpegs")
+
+    img = (RNG.rand(32, 48, 3) * 255).astype(np.uint8)
+    good = str(tmp_path / "good.jpg")
+    cv2.imwrite(good, img)
+    blob = bytearray(open(good, "rb").read())
+
+    # patch the SOF0/SOF2 segment's height/width to 60000x60000
+    # (segment layout: FF C0 len prec H H W W ...)
+    i = next(
+        k
+        for k in range(len(blob) - 1)
+        if blob[k] == 0xFF and blob[k + 1] in (0xC0, 0xC2)
+    )
+    blob[i + 5 : i + 9] = (60000).to_bytes(2, "big") * 2
+    huge = str(tmp_path / "huge.jpg")
+    with open(huge, "wb") as f:
+        f.write(bytes(blob))
+
+    trunc = str(tmp_path / "trunc.jpg")
+    with open(trunc, "wb") as f:
+        f.write(open(good, "rb").read()[:40])
+    notjpg = str(tmp_path / "not.jpg")
+    with open(notjpg, "wb") as f:
+        f.write(b"definitely not a jpeg")
+
+    from graph_detr4d_tpu.native import load_images
+
+    for bad in (huge, trunc, notjpg):
+        with pytest.raises(RuntimeError, match="1 image"):
+            load_images([bad], out_hw=(16, 24))
+        # good files still load after a failure (library state intact)
+        out = load_images([good], out_hw=(16, 24))
+        assert out.shape == (1, 16, 24, 3) and np.isfinite(out).all()
+
+
 def test_load_maps_roundtrip(tmp_path):
     """LoadMapsFromFiles parity (pipelines/loading.py:10-25): npz arr_0
     (H, W, C) -> gt_map (C, H, W) + 16x16 patch rows; patches invert back

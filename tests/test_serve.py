@@ -148,6 +148,99 @@ def test_serve_end_to_end(artifact_dir, tmp_path):
 
 
 @pytest.fixture(scope="module")
+def extras_artifact_dir(tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("serve_extras") / "export")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "export_model.py"),
+            "--tiny",
+            "--cfg-options",
+            "head.cam_aware=True",
+            "--platforms",
+            "cpu",
+            "--out",
+            out_dir,
+        ],
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return out_dir
+
+
+def test_serve_extras_artifact(extras_artifact_dir, tmp_path):
+    """cam_aware artifacts require intrinsics/ida_scale per request: a
+    request missing them gets a 400 naming the required npz keys (not an
+    opaque 500), a malformed lidar2img gets a 400, and a complete
+    request serves. Different intrinsics must change the output (the
+    extras actually reach DepthNet — they are not baked-in constants)."""
+    proc, url = _start_server(extras_artifact_dir, tmp_path)
+    try:
+        with urllib.request.urlopen(url + "/manifest") as r:
+            manifest = json.load(r)
+        assert manifest["extras"] == ["intrinsics", "ida_scale"]
+        B, N = manifest["batch_size"], manifest["num_cams"]
+        H, W = manifest["img_size"]
+        rng = np.random.RandomState(0)
+        images = rng.randn(B, N, H, W, 3).astype(np.float32)
+        l2i = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+
+        def post(**arrays):
+            buf = io.BytesIO()
+            np.savez(buf, **arrays)
+            req = urllib.request.Request(
+                url + "/infer", data=buf.getvalue(), method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.load(r)
+
+        # missing extras -> 400 naming the required keys
+        try:
+            post(images=images, lidar2img=l2i)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            msg = json.load(e)["error"]
+            assert "intrinsics" in msg and "ida_scale" in msg
+
+        # malformed lidar2img -> 400 (not a 500 from inside jax.export)
+        intr = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+        intr[..., 0, 0] = intr[..., 1, 1] = 500.0
+        ida = np.ones((B, N), np.float32)
+        try:
+            post(
+                images=images,
+                lidar2img=l2i[..., :3, :],
+                intrinsics=intr,
+                ida_scale=ida,
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "lidar2img" in json.load(e)["error"]
+
+        resp = post(
+            images=images, lidar2img=l2i, intrinsics=intr, ida_scale=ida
+        )
+        assert len(resp["detections"]) == B
+
+        intr2 = intr.copy()
+        intr2[..., 0, 0] = intr2[..., 1, 1] = 2000.0
+        resp2 = post(
+            images=images, lidar2img=l2i, intrinsics=intr2, ida_scale=ida
+        )
+        s1 = [d["scores"] for d in resp["detections"]]
+        s2 = [d["scores"] for d in resp2["detections"]]
+        assert s1 != s2  # intrinsics reach DepthNet
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+@pytest.fixture(scope="module")
 def streaming_artifact_dir(tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("serve_stream") / "export")
     r = subprocess.run(

@@ -61,6 +61,51 @@ def parse_args():
     return p.parse_args()
 
 
+def _extras_spec(cfg, batch_size):
+    """Config-derived extra serving inputs, in artifact argument order.
+
+    build_eval_step (parallel/step.py) feeds these from the batch; an
+    artifact that omitted them would silently degrade: petrv2 skips the
+    with_time velocity normalization when mean_time_stamp is None
+    (models/petr_head.py), and cam_aware falls back to identity
+    intrinsics for DepthNet (models/head.py)."""
+    B, N = batch_size, cfg.head.num_cams
+    spec = []
+    if cfg.head_type == "petrv2" or (
+        cfg.head_type == "petr_seg"
+        and cfg.head.num_cams > cfg.head.num_frame_cams
+    ):
+        spec.append(("mean_time_stamp", (B,)))
+    if cfg.head.cam_aware:
+        spec.append(("intrinsics", (B, N, 4, 4)))
+        spec.append(("ida_scale", (B, N)))
+    if cfg.head.scale_pred:
+        spec.append(("depth_factors", (B,)))
+    return spec
+
+
+def synth_extra(name, shape):
+    """Plausible placeholder value for an extra input (smoke/verify)."""
+    import numpy as np
+
+    if name == "intrinsics":
+        v = np.tile(np.eye(4, dtype=np.float32), shape[:-2] + (1, 1))
+        v[..., 0, 0] = v[..., 1, 1] = 1000.0
+        v[..., 0, 2], v[..., 1, 2] = 400.0, 225.0
+        return v
+    if name == "mean_time_stamp":
+        return np.full(shape, 0.5, np.float32)
+    return np.ones(shape, np.float32)
+
+
+def _manifest_extras(manifest):
+    """[(name, shape)] for the artifact's extra inputs, argument order."""
+    return [
+        (name, tuple(manifest["inputs"][name][0]))
+        for name in manifest.get("extras", [])
+    ]
+
+
 def run_artifact(out_dir):
     """Serving-side path: manifest + bytes only, no model construction."""
     from graph_detr4d_tpu.utils.platform import apply_platform_override
@@ -71,15 +116,35 @@ def run_artifact(out_dir):
 
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    with open(os.path.join(out_dir, "model.jaxexport"), "rb") as f:
-        exp = export.deserialize(f.read())
     B = manifest["batch_size"]
     N = manifest["num_cams"]
     H, W = manifest["img_size"]
     rng = np.random.RandomState(0)
     images = rng.randn(B, N, H, W, 3).astype(np.float32)
     l2i = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
-    out = exp.call(images, l2i)
+    extras = [
+        synth_extra(name, shape)
+        for name, shape in _manifest_extras(manifest)
+    ]
+    if manifest.get("streaming"):
+        s = manifest["streaming"]
+        with open(os.path.join(out_dir, "encode.jaxexport"), "rb") as f:
+            enc = export.deserialize(f.read())
+        with open(os.path.join(out_dir, "head.jaxexport"), "rb") as f:
+            head = export.deserialize(f.read())
+        nf, keys = s["num_frame_cams"], s["feat_keys"]
+        cur = enc.call(images[:, :nf])
+        prev = enc.call(images[:, nf:])
+        out = head.call(
+            l2i,
+            *extras,
+            *[cur[k] for k in keys],
+            *[prev[k] for k in keys],
+        )
+    else:
+        with open(os.path.join(out_dir, "model.jaxexport"), "rb") as f:
+            exp = export.deserialize(f.read())
+        out = exp.call(images, l2i, *extras)
     det = {k: np.asarray(v) for k, v in out.items()}
     n_valid = int(det["valid"].sum())
     assert np.isfinite(det["bboxes"][det["valid"]]).all()
@@ -88,6 +153,7 @@ def run_artifact(out_dir):
             {
                 "artifact": out_dir,
                 "platforms": manifest["platforms"],
+                "streaming": bool(manifest.get("streaming")),
                 "detections_shape": list(det["bboxes"].shape),
                 "n_valid": n_valid,
             }
@@ -119,6 +185,10 @@ def main():
     if args.tiny:
         cfg = tiny_test_config()
         cfg_name = "tiny"
+        if args.cfg_options:
+            from graph_detr4d_tpu.configs import apply_overrides
+
+            cfg = apply_overrides(cfg, args.cfg_options)
     else:
         from graph_detr4d_tpu.configs import get_config
 
@@ -142,12 +212,21 @@ def main():
         variables = {**variables, "params": params}
         print(f"loaded weights from {args.checkpoint}")
 
-    def infer(images, lidar2img):
-        out = model.apply(variables, images, lidar2img)
+    extras_spec = _extras_spec(cfg, args.batch_size)
+    extras_np = [synth_extra(n, s) for n, s in extras_spec]
+    extras_jnp = [jnp.asarray(v) for v in extras_np]
+    extras_sds = [
+        jax.ShapeDtypeStruct(s, jnp.float32) for _, s in extras_spec
+    ]
+
+    def infer(images, lidar2img, *extras):
+        kw = {name: v for (name, _), v in zip(extras_spec, extras)}
+        out = model.apply(variables, images, lidar2img, **kw)
         det = decode_batch(
             out,
             max_num=cfg.coder.max_num,
             post_center_range=cfg.coder.post_center_range,
+            score_threshold=cfg.coder.score_threshold,
         )
         return {
             "bboxes": det.bboxes,
@@ -167,7 +246,15 @@ def main():
         "inputs": {
             "images": [list(imgs.shape), str(imgs.dtype)],
             "lidar2img": [list(l2i.shape), str(l2i.dtype)],
+            **{
+                name: [list(shape), "float32"]
+                for name, shape in extras_spec
+            },
         },
+        # extra inputs the config requires at serving time, in the
+        # artifact's positional-argument order after (images, lidar2img)
+        # — for streaming heads, after lidar2img and before the features
+        "extras": [name for name, _ in extras_spec],
         "outputs": ["bboxes", "scores", "labels", "valid"],
         # client-side preprocessing contract: images must arrive
         # normalized as (raw - mean) / std in this channel order
@@ -198,7 +285,12 @@ def main():
             )
             return {f"feat{i}": f for i, f in enumerate(feats)}
 
-        def head_infer(lidar2img, *feats):  # L current, then L cached prev
+        def head_infer(lidar2img, *rest):
+            # rest = extras (manifest order), then L current + L cached
+            # previous feature levels
+            extras = rest[: len(extras_spec)]
+            feats = rest[len(extras_spec) :]
+            kw = {name: v for (name, _), v in zip(extras_spec, extras)}
             L = len(feats) // 2
             merged = [
                 jnp.concatenate([c, p], axis=1)
@@ -209,11 +301,13 @@ def main():
                 merged,
                 lidar2img,
                 method=GraphDETR4D.forward_feats,
+                **kw,
             )
             det = decode_batch(
                 out,
                 max_num=cfg.coder.max_num,
                 post_center_range=cfg.coder.post_center_range,
+                score_threshold=cfg.coder.score_threshold,
             )
             return {
                 "bboxes": det.bboxes,
@@ -234,13 +328,10 @@ def main():
         ]
         head_exp = export.export(jax.jit(head_infer), platforms=platforms)(
             jax.ShapeDtypeStruct(l2i.shape, l2i.dtype),
+            *extras_sds,
             *(feat_sds + feat_sds),
         )
         enc_blob, head_blob = enc_exp.serialize(), head_exp.serialize()
-        with open(os.path.join(args.out, "encode.jaxexport"), "wb") as f:
-            f.write(enc_blob)
-        with open(os.path.join(args.out, "head.jaxexport"), "wb") as f:
-            f.write(head_blob)
         manifest["streaming"] = {
             "num_frame_cams": nf,
             "feat_keys": feat_keys,
@@ -248,10 +339,9 @@ def main():
             "feat_dtype": str(feat_sds[0].dtype),
         }
         manifest["size_bytes"] = len(enc_blob) + len(head_blob)
-        with open(os.path.join(args.out, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
-        print(json.dumps({"exported": args.out, **manifest}))
 
+        # verify BEFORE any file lands on disk, so a failed check never
+        # leaves a complete-looking broken artifact behind
         if not args.no_verify:
             e2 = export.deserialize(enc_blob)
             h2 = export.deserialize(head_blob)
@@ -259,10 +349,11 @@ def main():
             prev = e2.call(imgs[:, nf:])
             got = h2.call(
                 l2i,
+                *extras_jnp,
                 *[cur[k] for k in feat_keys],
                 *[prev[k] for k in feat_keys],
             )
-            want = jax.jit(infer)(imgs, l2i)
+            want = jax.jit(infer)(imgs, l2i, *extras_jnp)
             # conv batch-fold size differs (nf vs 2*nf), so scheduling
             # float noise is expected; bf16 models see more of it
             tol = 5e-2 if cfg.bf16 else 1e-4
@@ -278,25 +369,28 @@ def main():
                 "verify: streaming encode+head composition matches "
                 "monolithic inference"
             )
+
+        with open(os.path.join(args.out, "encode.jaxexport"), "wb") as f:
+            f.write(enc_blob)
+        with open(os.path.join(args.out, "head.jaxexport"), "wb") as f:
+            f.write(head_blob)
+        with open(os.path.join(args.out, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        print(json.dumps({"exported": args.out, **manifest}))
         return
 
     exp = export.export(jax.jit(infer), platforms=platforms)(
         jax.ShapeDtypeStruct(imgs.shape, imgs.dtype),
         jax.ShapeDtypeStruct(l2i.shape, l2i.dtype),
+        *extras_sds,
     )
     blob = exp.serialize()
-
-    with open(os.path.join(args.out, "model.jaxexport"), "wb") as f:
-        f.write(blob)
     manifest["size_bytes"] = len(blob)
-    with open(os.path.join(args.out, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
-    print(json.dumps({"exported": args.out, **manifest}))
 
     if not args.no_verify:
         exp2 = export.deserialize(blob)
-        got = exp2.call(imgs, l2i)
-        want = jax.jit(infer)(imgs, l2i)
+        got = exp2.call(imgs, l2i, *extras_jnp)
+        want = jax.jit(infer)(imgs, l2i, *extras_jnp)
         for k in want:
             np.testing.assert_allclose(
                 np.asarray(got[k]),
@@ -305,6 +399,13 @@ def main():
                 atol=2e-5,
                 err_msg=k,
             )
+
+    with open(os.path.join(args.out, "model.jaxexport"), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(json.dumps({"exported": args.out, **manifest}))
+    if not args.no_verify:
         print("verify: deserialized artifact matches direct inference")
 
 

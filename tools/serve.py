@@ -58,7 +58,27 @@ def parse_args():
         default=None,
         help="write this file once the server is listening (test harness)",
     )
+    p.add_argument(
+        "--max-streams",
+        type=int,
+        default=16,
+        help="streaming artifacts: max concurrently cached stream ids; "
+        "least-recently-used streams are evicted (each cache entry "
+        "holds full FPN feature arrays in device memory)",
+    )
     return p.parse_args()
+
+
+def synth_extra(name, shape, np):
+    """Placeholder value for an extra artifact input (warmup/bench)."""
+    if name == "intrinsics":
+        v = np.tile(np.eye(4, dtype=np.float32), tuple(shape[:-2]) + (1, 1))
+        v[..., 0, 0] = v[..., 1, 1] = 1000.0
+        v[..., 0, 2], v[..., 1, 2] = 400.0, 225.0
+        return v
+    if name == "mean_time_stamp":
+        return np.full(shape, 0.5, np.float32)
+    return np.ones(shape, np.float32)
 
 
 class Engine:
@@ -72,7 +92,9 @@ class Engine:
     the new frame (models/detector.py forward_feats; the reference
     recomputes every camera every call)."""
 
-    def __init__(self, artifact_dir):
+    def __init__(self, artifact_dir, max_streams=16):
+        from collections import OrderedDict
+
         from graph_detr4d_tpu.utils.platform import apply_platform_override
 
         apply_platform_override()
@@ -87,7 +109,17 @@ class Engine:
         m = self.manifest
         B, N = m["batch_size"], m["num_cams"]
         H, W = m["img_size"]
+        # extra inputs the artifact requires (export_model._extras_spec),
+        # positional after (images, lidar2img) / streaming lidar2img
+        self.extras_spec = [
+            (name, tuple(m["inputs"][name][0]))
+            for name in m.get("extras", [])
+        ]
+        warm_extras = [
+            synth_extra(name, shape, np) for name, shape in self.extras_spec
+        ]
         self.streaming = m.get("streaming")
+        self.max_streams = max_streams
         if self.streaming:
             with open(
                 os.path.join(artifact_dir, "encode.jaxexport"), "rb"
@@ -97,12 +129,16 @@ class Engine:
                 os.path.join(artifact_dir, "head.jaxexport"), "rb"
             ) as f:
                 self.head = export.deserialize(f.read())
-            self._cache = {}  # stream id -> list of device feat arrays
+            # stream id -> list of device feat arrays, LRU order (each
+            # entry is HBM-resident; unbounded growth would crash the
+            # device, so the oldest stream is evicted at max_streams)
+            self._cache = OrderedDict()
             nf = self.streaming["num_frame_cams"]
             # warm both programs
             self.infer_stream(
                 np.zeros((B, nf, H, W, 3), np.float32),
                 np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+                warm_extras,
                 stream="_warmup",
             )
             del self._cache["_warmup"]
@@ -115,9 +151,10 @@ class Engine:
             self.infer(
                 np.zeros((B, N, H, W, 3), np.float32),
                 np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+                warm_extras,
             )
 
-    def infer(self, images, lidar2img):
+    def infer(self, images, lidar2img, extras=()):
         np = self._np
         if self.streaming:
             # monolithic request against a streaming artifact: encode
@@ -129,19 +166,20 @@ class Engine:
                 prev = self.encode.call(images[:, nf:])
                 out = self.head.call(
                     lidar2img,
+                    *extras,
                     *[cur[k] for k in keys],
                     *[prev[k] for k in keys],
                 )
-                det = {k: np.asarray(v) for k, v in out.items()}
                 self.served += 1
-            return det
-        with self._lock:
-            out = self.exported.call(images, lidar2img)
-            det = {k: np.asarray(v) for k, v in out.items()}
-            self.served += 1
-        return det
+        else:
+            with self._lock:
+                out = self.exported.call(images, lidar2img, *extras)
+                self.served += 1
+        # device->host copies happen OUTSIDE the lock so the next
+        # request's device work overlaps this response's host transfer
+        return {k: np.asarray(v) for k, v in out.items()}
 
-    def infer_stream(self, images, lidar2img, stream="default"):
+    def infer_stream(self, images, lidar2img, extras=(), stream="default"):
         """images: (B, num_frame_cams, H, W, 3) — the NEW frame only.
         lidar2img: (B, num_cams, 4, 4) — current cams first, then the
         cached frame's cams mapped into the current lidar frame. On the
@@ -153,11 +191,13 @@ class Engine:
             cur = self.encode.call(images)
             cur_list = [cur[k] for k in keys]
             prev_list = self._cache.get(stream, cur_list)
-            out = self.head.call(lidar2img, *cur_list, *prev_list)
-            det = {k: np.asarray(v) for k, v in out.items()}
+            out = self.head.call(lidar2img, *extras, *cur_list, *prev_list)
             self._cache[stream] = cur_list
+            self._cache.move_to_end(stream)
+            while len(self._cache) > self.max_streams:
+                self._cache.popitem(last=False)
             self.served += 1
-        return det
+        return {k: np.asarray(v) for k, v in out.items()}
 
     def reset_stream(self, stream="default"):
         with self._lock:
@@ -218,6 +258,19 @@ def make_handler(engine):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 data = np.load(io.BytesIO(self.rfile.read(n)))
+                required = ["images", "lidar2img"] + [
+                    name for name, _ in engine.extras_spec
+                ]
+                missing = [k for k in required if k not in data]
+                if missing:
+                    self._send(
+                        400,
+                        {
+                            "error": f"missing npz key(s) {missing}; "
+                            f"this artifact requires {required}"
+                        },
+                    )
+                    return
                 images = np.asarray(data["images"], np.float32)
                 l2i = np.asarray(data["lidar2img"], np.float32)
                 want_i = tuple(engine.manifest["inputs"]["images"][0])
@@ -227,19 +280,39 @@ def make_handler(engine):
                         want_i[0],
                         s["num_frame_cams"],
                     ) + want_i[2:]
+                want_l = tuple(engine.manifest["inputs"]["lidar2img"][0])
+                extras = []
+                shape_errs = []
                 if images.shape != want_i:
+                    shape_errs.append(
+                        f"images {list(images.shape)} != {list(want_i)}"
+                    )
+                if l2i.shape != want_l:
+                    shape_errs.append(
+                        f"lidar2img {list(l2i.shape)} != {list(want_l)}"
+                    )
+                for name, want_e in engine.extras_spec:
+                    v = np.asarray(data[name], np.float32)
+                    if v.shape != want_e:
+                        shape_errs.append(
+                            f"{name} {list(v.shape)} != {list(want_e)}"
+                        )
+                    extras.append(v)
+                if shape_errs:
                     self._send(
                         400,
                         {
-                            "error": f"images shape {list(images.shape)} != "
-                            f"artifact shape {list(want_i)}"
+                            "error": "input shape mismatch vs artifact: "
+                            + "; ".join(shape_errs)
                         },
                     )
                     return
                 if route == "/infer_stream":
-                    det = engine.infer_stream(images, l2i, stream=stream)
+                    det = engine.infer_stream(
+                        images, l2i, extras, stream=stream
+                    )
                 else:
-                    det = engine.infer(images, l2i)
+                    det = engine.infer(images, l2i, extras)
                 out = []
                 for b in range(det["bboxes"].shape[0]):
                     keep = det["valid"][b].astype(bool)
@@ -263,7 +336,7 @@ def make_handler(engine):
 def run_server(args):
     from http.server import ThreadingHTTPServer
 
-    engine = Engine(args.artifact)
+    engine = Engine(args.artifact, max_streams=args.max_streams)
     srv = ThreadingHTTPServer(
         (args.host, args.port), make_handler(engine)
     )
@@ -293,6 +366,10 @@ def run_bench(args):
     B, N = manifest["batch_size"], manifest["num_cams"]
     H, W = manifest["img_size"]
     rng = np.random.RandomState(0)
+    extras = {
+        name: synth_extra(name, tuple(manifest["inputs"][name][0]), np)
+        for name in manifest.get("extras", [])
+    }
     lat = []
     for i in range(args.requests):
         buf = io.BytesIO()
@@ -302,6 +379,7 @@ def run_bench(args):
             lidar2img=np.tile(
                 np.eye(4, dtype=np.float32), (B, N, 1, 1)
             ),
+            **extras,
         )
         body = buf.getvalue()
         t0 = time.perf_counter()

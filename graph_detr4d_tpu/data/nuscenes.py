@@ -216,7 +216,11 @@ class NuScenesSweepDataset:
         labels = np.array(
             [NUSCENES_NAME_TO_LABEL[n] for n in names], np.int32
         )
-        # mmdet3d gravity-center convention: infos store bottom-center z
+        # z stays as stored: mmdet3d infos carry gravity-center z, and
+        # the reference's bottom-center conversion (origin 0.5,0.5,0.5)
+        # followed by training on .gravity_center is a net identity —
+        # do NOT add an h/2 shift here (core/iou3d.py and the coder
+        # assume gravity-center z)
         full = np.concatenate([boxes, vel], axis=1)  # (n, 9)
 
         G = self.max_gt

@@ -25,9 +25,7 @@ import flax.linen as nn
 
 from ..config import ModelConfig
 from ..core.losses import detr3d_loss
-from ..geometry.boxes import denormalize_bbox, normalize_bbox
 from .losses import (
-    bce_cost_matrix,
     soft_binary_cross_entropy,
     match_soft_targets,
     feat_distill_loss,
@@ -101,11 +99,20 @@ class Distiller(nn.Module):
 def instance_distill_loss(
     teacher_outs: dict,
     student_outs: dict,
-    pc_range,
+    code_weights,
     dcfg: DistillConfig,
 ):
     """Per-decoder-stage soft distillation (detr4d_distiller.py:143-168 +
-    detr3d_head_pe.py loss_distill_single:851-1011)."""
+    detr3d_head_pe.py loss_distill_single:851-1011).
+
+    `code_weights` scales the per-dim L1 exactly like the GT loss
+    (detr3d_head_pe.py:917 bbox_weights * self.code_weights); None means
+    unweighted."""
+    cw = (
+        jnp.ones((1,), jnp.float32)
+        if code_weights is None
+        else jnp.asarray(code_weights, jnp.float32)
+    )
     t_cls = jax.lax.stop_gradient(teacher_outs["all_cls_scores"])
     t_bbox = jax.lax.stop_gradient(teacher_outs["all_bbox_preds"])
     s_cls = student_outs["all_cls_scores"]
@@ -139,14 +146,18 @@ def instance_distill_loss(
             codes_t = codes_t.at[t_for_s].set(t_codes)
             avg = jnp.maximum(w.sum(), 1.0)
             lc = soft_binary_cross_entropy(sc, soft, w, avg)
-            rw = w
+            rw, avg_reg = w, avg
             if dcfg.reweight_score:
                 rw = w * jnp.zeros((Qs,)).at[t_for_s].set(
                     t_scores.max(-1)
                 )
+                # the reference re-bases the avg factor on the score sum
+                # over matched rows (detr3d_head_pe.py:907-911)
+                avg_reg = jnp.maximum(rw.sum(), 1.0)
             lr = (
-                jnp.abs(sb.astype(jnp.float32) - codes_t).sum(-1) * rw
-            ).sum() / avg
+                (jnp.abs(sb.astype(jnp.float32) - codes_t) * cw).sum(-1)
+                * rw
+            ).sum() / avg_reg
             return lc, lr
 
         lc, lr = jax.vmap(per_image)(
@@ -184,18 +195,27 @@ def distill_loss(
     )
     if dcfg.use_instance_distill:
         lc, lr = instance_distill_loss(
-            teacher_outs, student_outs, cfg.head.pc_range, dcfg
+            teacher_outs, student_outs, cfg.head.code_weights, dcfg
         )
         metrics["distill_loss_cls"] = lc
         metrics["distill_loss_reg"] = lr
         total = total + lc + lr
-    if dcfg.mix and "all_cls_scores_guided" in student_outs:
+    if dcfg.mix:
+        if "all_cls_scores_guided" not in student_outs:
+            # misconfiguration must fail loudly: silently dropping the
+            # MixDistill term would train a plain distill run while the
+            # config claims mix=True
+            raise ValueError(
+                "DistillConfig.mix=True but the student head emitted no "
+                "guided outputs — pass teacher_query_embed through the "
+                "student forward (head.py teacher-query dual decode)"
+            )
         guided = {
             "all_cls_scores": student_outs["all_cls_scores_guided"],
             "all_bbox_preds": student_outs["all_bbox_preds_guided"],
         }
         glc, glr = instance_distill_loss(
-            teacher_outs, guided, cfg.head.pc_range, dcfg
+            teacher_outs, guided, cfg.head.code_weights, dcfg
         )
         metrics["mix_loss_cls"] = glc
         metrics["mix_loss_reg"] = glr

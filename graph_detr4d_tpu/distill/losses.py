@@ -18,7 +18,6 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..geometry.boxes import normalize_bbox
 from ..ops.hungarian import hungarian_assignment
 
 
@@ -77,6 +76,14 @@ def feat_distill_loss(
     temperature: float = 0.5,
 ):
     """Per-level MSE (optionally attention-weighted) averaged over levels."""
+    if len(teacher_feats) != len(student_feats_adapted):
+        # zip would silently truncate and the divisor below would deflate
+        # the loss — a neck num_outs mismatch must fail at trace time
+        raise ValueError(
+            f"feature-distill level mismatch: teacher has "
+            f"{len(teacher_feats)} levels, student "
+            f"{len(student_feats_adapted)}"
+        )
     total = 0.0
     for t, s in zip(teacher_feats, student_feats_adapted):
         t = t.astype(jnp.float32)

@@ -157,8 +157,12 @@ class Trainer:
     def fit(self, total_steps: int, ckpt_every: int = 1000):
         t0 = time.time()
         window = []
+        # one device->host sync up front; after that a host counter
+        # tracks state.step exactly (train_step increments by 1), so the
+        # loop never blocks on the previous step's output just to read
+        # its step number — dispatch overlaps device compute
+        step = int(self.state.step)
         for batch in self.batch_iter:
-            step = int(self.state.step)
             if step >= total_steps:
                 break
             if self.profile_steps > 0 and not self._profiling:
@@ -175,6 +179,7 @@ class Trainer:
                 self.state, batch, self.rng
             )
             self._steps_seen += 1
+            step += 1
             if (
                 self._profiling
                 and self._steps_seen
@@ -182,25 +187,25 @@ class Trainer:
             ):
                 self._stop_profile(metrics)
             window.append(metrics)
-            if (step + 1) % self.log_interval == 0:
+            if step % self.log_interval == 0:
                 avg = {
                     k: float(np.mean([float(m[k]) for m in window]))
                     for k in window[-1]
                 }
                 avg["iter_time"] = (time.time() - t0) / len(window)
                 if self.is_main:
-                    self.logger.log(step + 1, avg)
+                    self.logger.log(step, avg)
                 window, t0 = [], time.time()
-            if (step + 1) % ckpt_every == 0:
+            if step % ckpt_every == 0:
                 # orbax saves are COLLECTIVE in multi-process runs — every
                 # rank must call save (orbax writes from the primary host)
                 self.ckpt.save(
-                    step + 1, jax.tree.map(np.asarray, self.state)
+                    step, jax.tree.map(np.asarray, self.state)
                 )
                 if self.eval_fn is not None:
                     results = self.eval_fn(self.state)
                     if self.is_main:
-                        self.logger.log(step + 1, results)
+                        self.logger.log(step, results)
         if self._profiling:
             # loop ended before profile_steps elapsed — still flush
             self._stop_profile(metrics)

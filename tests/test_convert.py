@@ -49,8 +49,7 @@ def tree_paths(tree, prefix=()):
         yield prefix, np.asarray(tree).shape
 
 
-def test_converter_roundtrip_and_structure():
-    cfg = small_flagship_cfg()
+def _roundtrip(cfg):
     model = GraphDETR4D(cfg)
     imgs = jnp.zeros((1, 6, 64, 128, 3))
     l2i = jnp.broadcast_to(jnp.eye(4), (1, 6, 4, 4))
@@ -60,14 +59,6 @@ def test_converter_roundtrip_and_structure():
     sd = export_state_dict(
         variables, cfg.head.num_decoder_layers, cfg.head.num_heads
     )
-    # reference-layout sanity: known key shapes
-    assert sd["img_backbone.conv1.weight"].shape == (64, 3, 7, 7)
-    assert sd["pts_bbox_head.cls_branches.0.6.weight"].shape == (10, 32)
-    assert sd["img_backbone.layer3.0.conv2.conv_offset.weight"].shape[0] == 27
-    assert sd[
-        "pts_bbox_head.transformer.decoder.layers.0.attentions.0.attn.in_proj_weight"
-    ].shape == (96, 32)
-
     back = convert_state_dict(
         sd, cfg.head.num_decoder_layers, cfg.head.num_heads
     )
@@ -93,3 +84,44 @@ def test_converter_roundtrip_and_structure():
         np.testing.assert_array_equal(
             get(back, path), get(variables, path), err_msg=str(path)
         )
+    return sd
+
+
+def test_converter_roundtrip_and_structure():
+    cfg = small_flagship_cfg()
+    sd = _roundtrip(cfg)
+    # reference-layout sanity: known key shapes
+    assert sd["img_backbone.conv1.weight"].shape == (64, 3, 7, 7)
+    assert sd["pts_bbox_head.cls_branches.0.6.weight"].shape == (10, 32)
+    assert sd["img_backbone.layer3.0.conv2.conv_offset.weight"].shape[0] == 27
+    assert sd[
+        "pts_bbox_head.transformer.decoder.layers.0.attentions.0.attn.in_proj_weight"
+    ].shape == (96, 32)
+
+
+def test_converter_roundtrip_plain_detr3d_families():
+    """with_pe=False + Detr3DCrossAtten / Detr3DCrossAttenV2 checkpoints
+    (detr3d_transformer.py:230-330, 442-560) carry no position_encoder /
+    adapt_pos3d / fpe and different cross-attn tensors — the converter
+    must map them (it used to KeyError on the missing PE keys)."""
+    import dataclasses
+
+    for attn_type in ("detr3d", "detr3d_v2"):
+        cfg = small_flagship_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, use_dcn=False),
+            head=dataclasses.replace(
+                cfg.head, with_pe=False, attn_type=attn_type
+            ),
+        )
+        sd = _roundtrip(cfg)
+        assert "pts_bbox_head.position_encoder.0.weight" not in sd
+        assert "pts_bbox_head.fpe.conv_reduce.weight" not in sd
+        x = "pts_bbox_head.transformer.decoder.layers.0.attentions.1"
+        assert f"{x}.attention_weights.weight" in sd
+        assert f"{x}.position_encoder.0.weight" in sd
+        if attn_type == "detr3d_v2":
+            assert f"{x}.sampling_offsets.weight" in sd
+        else:
+            assert f"{x}.sampling_offsets.weight" not in sd

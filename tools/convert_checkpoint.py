@@ -333,6 +333,11 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
             lin_ln(params, dst + ["ln1"], sd, f"{src}.4")
             lin(dst + ["out"], f"{src}.6")
 
+        def plain_reg_map(dst, src):
+            lin(dst + ["fc0"], f"{src}.0")
+            lin(dst + ["fc1"], f"{src}.2")
+            lin(dst + ["out"], f"{src}.4")
+
         if f"{hd}.reg_branches.0.reg_branch.0.weight" in sd:
             # PETRv2: per-layer deepcopied branches (petrv2_head.py:
             # 297-300) + grouped RegLayer (with_multi, :58-88) — trunk
@@ -353,14 +358,33 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
                     t += 1
                 lvl += 1
         else:
-            # PETRv1/seg: every cls_branches.{i} aliases the SAME tensors
-            # (petr_head.py:240-243) — map index 0 into the shared branch
-            cls_map(["head", "cls_branch"], f"{hd}.cls_branches.0")
-            reg_src = f"{hd}.reg_branches.0"
-            dst = ["head", "reg_branch"]
-            lin(dst + ["fc0"], f"{reg_src}.0")
-            lin(dst + ["fc1"], f"{reg_src}.2")
-            lin(dst + ["out"], f"{reg_src}.4")
+            # plain Sequential branches. PETRv1/seg ALIAS one module
+            # across layers (petr_head.py:240-243 — every index
+            # serializes identical tensors), while a petrv2-style head
+            # with with_multi off DEEPCOPIES per layer
+            # (petrv2_head.py:296-299): discriminate by value equality
+            # so trained per-layer branches aren't collapsed to layer 0
+            lvls = 0
+            while f"{hd}.cls_branches.{lvls}.0.weight" in sd:
+                lvls += 1
+            aliased = all(
+                np.array_equal(
+                    np.asarray(sd[f"{hd}.{b}.{lv}.{t}.weight"]),
+                    np.asarray(sd[f"{hd}.{b}.0.{t}.weight"]),
+                )
+                for lv in range(1, lvls)
+                for b, t in (("cls_branches", 0), ("reg_branches", 0))
+            )
+            if aliased:
+                cls_map(["head", "cls_branch"], f"{hd}.cls_branches.0")
+                plain_reg_map(["head", "reg_branch"],
+                              f"{hd}.reg_branches.0")
+            else:
+                for lvl in range(lvls):
+                    cls_map(["head", f"cls_branch{lvl}"],
+                            f"{hd}.cls_branches.{lvl}")
+                    plain_reg_map(["head", f"reg_branch{lvl}"],
+                                  f"{hd}.reg_branches.{lvl}")
         return {"params": params, "batch_stats": stats}
 
     # camera-aware DepthNet (Detr3DHeadPECAM, detr3d_head_pe_camaware.py:
@@ -399,26 +423,30 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
             sd[f"{hd}.query_embedding.weight"],
         )
     lin(["head", "reference_points"], f"{hd}.transformer.reference_points")
-    # PE mlps (Conv2d 1x1 -> Dense)
-    for dst, src in (
-        ("position_encoder", f"{hd}.position_encoder"),
-        ("adapt_pos3d", f"{hd}.adapt_pos3d"),
-    ):
-        for j, tidx in enumerate((0, 2)):
-            w = np.asarray(sd[f"{src}.{tidx}.weight"])[:, :, 0, 0]
-            _set(
-                params,
-                ["head", dst, f"Dense_{j}", "kernel"],
-                t_lin(w),
-            )
-            _set(
-                params,
-                ["head", dst, f"Dense_{j}", "bias"],
-                sd[f"{src}.{tidx}.bias"],
-            )
+    # PE mlps (Conv2d 1x1 -> Dense) — only with_pe heads have them; the
+    # plain Detr3DHead families (detr3d_head.py) carry none of
+    # position_encoder / adapt_pos3d / fpe
+    if f"{hd}.position_encoder.0.weight" in sd:
+        for dst, src in (
+            ("position_encoder", f"{hd}.position_encoder"),
+            ("adapt_pos3d", f"{hd}.adapt_pos3d"),
+        ):
+            for j, tidx in enumerate((0, 2)):
+                w = np.asarray(sd[f"{src}.{tidx}.weight"])[:, :, 0, 0]
+                _set(
+                    params,
+                    ["head", dst, f"Dense_{j}", "kernel"],
+                    t_lin(w),
+                )
+                _set(
+                    params,
+                    ["head", dst, f"Dense_{j}", "bias"],
+                    sd[f"{src}.{tidx}.bias"],
+                )
     # fpe SELayer
-    conv(["head", "fpe", "reduce"], f"{hd}.fpe.conv_reduce", bias=True)
-    conv(["head", "fpe", "expand"], f"{hd}.fpe.conv_expand", bias=True)
+    if f"{hd}.fpe.conv_reduce.weight" in sd:
+        conv(["head", "fpe", "reduce"], f"{hd}.fpe.conv_reduce", bias=True)
+        conv(["head", "fpe", "expand"], f"{hd}.fpe.conv_expand", bias=True)
 
     # branches
     for lid in range(num_decoder_layers):
@@ -457,19 +485,42 @@ def convert_state_dict(sd: dict, num_decoder_layers: int = 6, nheads: int = 8):
             dst + ["self_attn", "out", "bias"],
             sd[f"{lsrc}.attentions.0.attn.out_proj.bias"],
         )
-        # cross-attn (Deform3DCrossAttn)
+        # cross-attn: Deform3DCrossAttn (cam gate + value proj),
+        # Detr3DCrossAttenV2 (2D offsets), or plain Detr3DCrossAtten —
+        # discriminated by key presence (detr3d_transformer.py:292-303,
+        # :504-518; deform3d_cross_attn.py)
         xsrc = f"{lsrc}.attentions.1"
         xdst = dst + ["cross_attn"]
-        lin(xdst + ["cam_attention_weights"], f"{xsrc}.cam_attention_weights")
-        lin(xdst + ["sampling_offsets"], f"{xsrc}.deform_sampling_offsets")
+        is_deform = f"{xsrc}.cam_attention_weights.weight" in sd
+        if is_deform:
+            lin(xdst + ["cam_attention_weights"],
+                f"{xsrc}.cam_attention_weights")
+            lin(xdst + ["sampling_offsets"],
+                f"{xsrc}.deform_sampling_offsets")
+            lin(xdst + ["value_proj"], f"{xsrc}.value_proj")
+        elif f"{xsrc}.sampling_offsets.weight" in sd:
+            # Detr3DCrossAttenV2 (attention_variants.py)
+            lin(xdst + ["sampling_offsets"], f"{xsrc}.sampling_offsets")
         lin(xdst + ["attention_weights"], f"{xsrc}.attention_weights")
-        lin(xdst + ["value_proj"], f"{xsrc}.value_proj")
         lin(xdst + ["output_proj"], f"{xsrc}.output_proj")
         pe = f"{xsrc}.position_encoder"
-        lin(xdst + ["position_encoder", "layers_0"], f"{pe}.0")
-        lin_ln(params, xdst + ["position_encoder", "layers_1"], sd, f"{pe}.1")
-        lin(xdst + ["position_encoder", "layers_3"], f"{pe}.3")
-        lin_ln(params, xdst + ["position_encoder", "layers_4"], sd, f"{pe}.4")
+        if is_deform:
+            # models/attention.py names its PE sub-layers layers_{0,1,3,4}
+            lin(xdst + ["position_encoder", "layers_0"], f"{pe}.0")
+            lin_ln(params, xdst + ["position_encoder", "layers_1"], sd,
+                   f"{pe}.1")
+            lin(xdst + ["position_encoder", "layers_3"], f"{pe}.3")
+            lin_ln(params, xdst + ["position_encoder", "layers_4"], sd,
+                   f"{pe}.4")
+        else:
+            # variants share PositionEncoderMLP (attention_variants.py):
+            # flax auto-names Dense_{0,1} / LayerNorm_{0,1}
+            lin(xdst + ["position_encoder", "Dense_0"], f"{pe}.0")
+            lin_ln(params, xdst + ["position_encoder", "LayerNorm_0"], sd,
+                   f"{pe}.1")
+            lin(xdst + ["position_encoder", "Dense_1"], f"{pe}.3")
+            lin_ln(params, xdst + ["position_encoder", "LayerNorm_1"], sd,
+                   f"{pe}.4")
         # ffn + norms
         lin(dst + ["ffn", "Dense_0"], f"{lsrc}.ffns.0.layers.0.0")
         lin(dst + ["ffn", "Dense_1"], f"{lsrc}.ffns.0.layers.1")
@@ -583,21 +634,26 @@ def export_state_dict(variables, num_decoder_layers: int = 6, nheads: int = 8):
         params, ["head", "query_embedding"]
     )
     inv_lin(["head", "reference_points"], f"{hd}.transformer.reference_points")
-    for src_name, dst_name in (
-        ("position_encoder", f"{hd}.position_encoder"),
-        ("adapt_pos3d", f"{hd}.adapt_pos3d"),
-    ):
-        for j, tidx in enumerate((0, 2)):
-            w = np.transpose(
-                _get(params, ["head", src_name, f"Dense_{j}", "kernel"]),
-                (1, 0),
-            )[:, :, None, None]
-            sd[f"{dst_name}.{tidx}.weight"] = w
-            sd[f"{dst_name}.{tidx}.bias"] = _get(
-                params, ["head", src_name, f"Dense_{j}", "bias"]
-            )
-    inv_conv(["head", "fpe", "reduce"], f"{hd}.fpe.conv_reduce", bias=True)
-    inv_conv(["head", "fpe", "expand"], f"{hd}.fpe.conv_expand", bias=True)
+    # with_pe heads only — plain Detr3DHead has no PE mlps / fpe
+    if "position_encoder" in params["head"]:
+        for src_name, dst_name in (
+            ("position_encoder", f"{hd}.position_encoder"),
+            ("adapt_pos3d", f"{hd}.adapt_pos3d"),
+        ):
+            for j, tidx in enumerate((0, 2)):
+                w = np.transpose(
+                    _get(params, ["head", src_name, f"Dense_{j}", "kernel"]),
+                    (1, 0),
+                )[:, :, None, None]
+                sd[f"{dst_name}.{tidx}.weight"] = w
+                sd[f"{dst_name}.{tidx}.bias"] = _get(
+                    params, ["head", src_name, f"Dense_{j}", "bias"]
+                )
+    if "fpe" in params["head"]:
+        inv_conv(["head", "fpe", "reduce"], f"{hd}.fpe.conv_reduce",
+                 bias=True)
+        inv_conv(["head", "fpe", "expand"], f"{hd}.fpe.conv_expand",
+                 bias=True)
 
     for lid in range(num_decoder_layers):
         dst = ["head", f"cls_branch{lid}"]
@@ -636,16 +692,29 @@ def export_state_dict(variables, num_decoder_layers: int = 6, nheads: int = 8):
 
         xsrc = f"{lsrc}.attentions.1"
         xdst = dst + ["cross_attn"]
-        inv_lin(xdst + ["cam_attention_weights"], f"{xsrc}.cam_attention_weights")
-        inv_lin(xdst + ["sampling_offsets"], f"{xsrc}.deform_sampling_offsets")
+        xparams = params["head"][f"decoder_layer{lid}"]["cross_attn"]
+        is_deform = "cam_attention_weights" in xparams
+        if is_deform:
+            inv_lin(xdst + ["cam_attention_weights"],
+                    f"{xsrc}.cam_attention_weights")
+            inv_lin(xdst + ["sampling_offsets"],
+                    f"{xsrc}.deform_sampling_offsets")
+            inv_lin(xdst + ["value_proj"], f"{xsrc}.value_proj")
+        elif "sampling_offsets" in xparams:  # Detr3DCrossAttenV2
+            inv_lin(xdst + ["sampling_offsets"], f"{xsrc}.sampling_offsets")
         inv_lin(xdst + ["attention_weights"], f"{xsrc}.attention_weights")
-        inv_lin(xdst + ["value_proj"], f"{xsrc}.value_proj")
         inv_lin(xdst + ["output_proj"], f"{xsrc}.output_proj")
         pe = f"{xsrc}.position_encoder"
-        inv_lin(xdst + ["position_encoder", "layers_0"], f"{pe}.0")
-        inv_ln(xdst + ["position_encoder", "layers_1"], f"{pe}.1")
-        inv_lin(xdst + ["position_encoder", "layers_3"], f"{pe}.3")
-        inv_ln(xdst + ["position_encoder", "layers_4"], f"{pe}.4")
+        if is_deform:
+            inv_lin(xdst + ["position_encoder", "layers_0"], f"{pe}.0")
+            inv_ln(xdst + ["position_encoder", "layers_1"], f"{pe}.1")
+            inv_lin(xdst + ["position_encoder", "layers_3"], f"{pe}.3")
+            inv_ln(xdst + ["position_encoder", "layers_4"], f"{pe}.4")
+        else:
+            inv_lin(xdst + ["position_encoder", "Dense_0"], f"{pe}.0")
+            inv_ln(xdst + ["position_encoder", "LayerNorm_0"], f"{pe}.1")
+            inv_lin(xdst + ["position_encoder", "Dense_1"], f"{pe}.3")
+            inv_ln(xdst + ["position_encoder", "LayerNorm_1"], f"{pe}.4")
 
         inv_lin(dst + ["ffn", "Dense_0"], f"{lsrc}.ffns.0.layers.0.0")
         inv_lin(dst + ["ffn", "Dense_1"], f"{lsrc}.ffns.0.layers.1")
@@ -660,6 +729,13 @@ def main():
     p.add_argument("out_dir")
     p.add_argument("--num-decoder-layers", type=int, default=6)
     args = p.parse_args()
+
+    # honor GRD4D_PLATFORM before orbax imports jax — the axon
+    # sitecustomize force-selects TPU programmatically, and device
+    # discovery hangs for minutes when the tunnel is down (CLAUDE.md)
+    from graph_detr4d_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
 
     import torch
 

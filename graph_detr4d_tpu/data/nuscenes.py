@@ -21,7 +21,11 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..geometry.transforms import lidar2img_from_calib, sweep_lidar2img
+from ..geometry.transforms import (
+    lidar2img_from_calib,
+    quaternion_to_rotation_matrix,
+    sweep_lidar2img,
+)
 
 CAM_ORDER = (
     "CAM_FRONT",
@@ -267,11 +271,20 @@ class NuScenesSweepDataset:
         intr = np.asarray(intr_cur, np.float32)
         n_frames = l2i.shape[0] // len(CAM_ORDER)
         intr = np.tile(intr, (n_frames, 1, 1))
+        # ego origin in the lidar frame (-R_l2e^T t_l2e): the devkit's
+        # per-class eval range filter cuts on distance from the EGO, and
+        # the lidar sits ~0.94 m from the ego center on nuScenes
+        l2e_r = quaternion_to_rotation_matrix(
+            np.asarray(info["lidar2ego_rotation"], np.float64)
+        )
+        l2e_t = np.asarray(info["lidar2ego_translation"], np.float64)
+        ego_xy = (-(l2e_r.T @ l2e_t))[:2].astype(np.float32)
         out = {
             "token": info["token"],
             "image_paths": paths,
             "lidar2img": l2i,
             "intrinsics": intr,
+            "ego_xy": ego_xy,
             "gt_bboxes": gt_bboxes,
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,

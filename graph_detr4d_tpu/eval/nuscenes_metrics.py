@@ -27,22 +27,18 @@ AAE slot contributes its best-case 1.0 term to NDS (documented fallback).
 """
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-DEFAULT_CLASS_RANGE = {
-    "car": 50.0,
-    "truck": 50.0,
-    "construction_vehicle": 50.0,
-    "bus": 50.0,
-    "trailer": 50.0,
-    "barrier": 30.0,
-    "motorcycle": 40.0,
-    "bicycle": 40.0,
-    "pedestrian": 40.0,
-    "traffic_cone": 30.0,
-}
+from ..config import NUSCENES_CLASSES
+from .submission import CLASS_RANGE
+
+# detection_cvpr_2019 ranges (single source: submission.CLASS_RANGE),
+# ordered by the canonical label ids (data/nuscenes.py
+# NUSCENES_NAME_TO_LABEL) so the default class_names match the
+# detector's label space
+DEFAULT_CLASS_RANGE = {n: CLASS_RANGE[n] for n in NUSCENES_CLASSES}
 
 
 @dataclass
@@ -106,6 +102,7 @@ class DetectionEvaluator:
         self.cfg = cfg or DetectionConfig()
         self.preds: List[_Boxes] = []
         self.gts: List[_Boxes] = []
+        self.ego_xys: List[Optional[np.ndarray]] = []
         self._have_attrs = False
 
     def add_sample(
@@ -116,7 +113,17 @@ class DetectionEvaluator:
         gt_boxes: np.ndarray,
         gt_labels: np.ndarray,
         gt_attrs=None,  # (n,) attribute-name strings; enables AAE
+        ego_xy=None,  # (2,) ego origin in the boxes' frame; see below
     ):
+        """Labels are indices into cfg.class_names (the detector's label
+        space) for BOTH predictions and GT.
+
+        `ego_xy` is the ego-vehicle origin expressed in the same frame
+        as the boxes (for lidar-frame boxes: -R_l2e^T t_l2e, ~(-0.9, 0)
+        on nuScenes). The devkit's per-class range filter cuts on
+        distance from the EGO, not the lidar origin; omitting ego_xy
+        falls back to the boxes' origin (a <=0.94 m boundary bias vs the
+        devkit)."""
         pred_boxes = np.asarray(pred_boxes, np.float64).reshape(-1, 9)
         gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 9)
         k = min(len(pred_boxes), self.cfg.max_boxes_per_sample)
@@ -160,23 +167,42 @@ class DetectionEvaluator:
                 attr=gt_attrs,
             )
         )
+        self.ego_xys.append(
+            None
+            if ego_xy is None
+            else np.asarray(ego_xy, np.float64).reshape(2)
+        )
 
     # ------------------------------------------------------------------
-    def _class_filter(self, boxes: _Boxes, cls_idx: int, cls_name: str):
+    def _class_filter(
+        self, boxes: _Boxes, cls_idx: int, cls_name: str, ego_xy=None
+    ):
         rng = self.cfg.class_range.get(cls_name, 50.0)
+        xy = boxes.xyz[:, :2]
+        if ego_xy is not None:
+            xy = xy - ego_xy
         keep = (boxes.label == cls_idx) & (
-            np.linalg.norm(boxes.xyz[:, :2], axis=1) < rng
+            np.linalg.norm(xy, axis=1) < rng
         )
         return keep
 
     def _accumulate(self, cls_idx: int, cls_name: str, dist_th: float):
         """One (class, threshold) PR sweep. Returns interpolated curves."""
-        # gather all predictions of this class over all samples
+        # gather all predictions of this class over all samples; GT of
+        # the class is pre-grouped per sample ONCE (the devkit pre-groups
+        # by sample token) — recomputing the filter per prediction entry
+        # made full-val evaluation quadratically slow
         entries = []  # (score, sample_idx, pred_idx)
+        g_sel = []  # per sample: GT indices of this class in range
         npos = 0
         for si, (p, g) in enumerate(zip(self.preds, self.gts)):
-            npos += int(self._class_filter(g, cls_idx, cls_name).sum())
-            for pi in np.nonzero(self._class_filter(p, cls_idx, cls_name))[0]:
+            ego = self.ego_xys[si]
+            gmask = self._class_filter(g, cls_idx, cls_name, ego)
+            g_sel.append(np.nonzero(gmask)[0])
+            npos += int(gmask.sum())
+            for pi in np.nonzero(
+                self._class_filter(p, cls_idx, cls_name, ego)
+            )[0]:
                 entries.append((p.score[pi], si, pi))
         n_interp = 101
         empty = {
@@ -201,11 +227,10 @@ class DetectionEvaluator:
         period = np.pi if cls_name == "barrier" else 2 * np.pi
         for score, si, pi in entries:
             p, g = self.preds[si], self.gts[si]
-            gmask = self._class_filter(g, cls_idx, cls_name)
-            gidx = np.nonzero(gmask)[0]
-            free = [gi for gi in gidx if (si, gi) not in taken]
             best, best_d = -1, np.inf
-            for gi in free:
+            for gi in g_sel[si]:
+                if (si, gi) in taken:
+                    continue
                 d = np.linalg.norm(p.xyz[pi, :2] - g.xyz[gi, :2])
                 if d < best_d:
                     best, best_d = gi, d
@@ -254,15 +279,26 @@ class DetectionEvaluator:
 
         if m_conf:
             # cumulative-mean TP errors as a function of confidence,
-            # re-sampled onto the recall grid via the confidence curve
+            # re-sampled onto the recall grid via the confidence curve.
+            # NaN handling mirrors the devkit's cummean exactly: nancumsum
+            # over the FULL matched array with 0 where no valid entry has
+            # been seen yet, interpolated over ALL match confidences —
+            # dropping NaN rows first would left-clamp to the first valid
+            # mean and bias mAAE/mAVE at high confidence
             def cm(v):
                 v = np.asarray(v, np.float64)
                 ok = ~np.isnan(v)
                 if not ok.any():
                     return np.ones(n_interp)
-                vv = v[ok]
-                cc = np.asarray(m_conf)[ok]
-                c = np.cumsum(vv) / (np.arange(len(vv)) + 1)
+                sums = np.nancumsum(v)
+                counts = np.cumsum(ok).astype(np.float64)
+                c = np.divide(
+                    sums,
+                    counts,
+                    out=np.zeros_like(sums),
+                    where=counts != 0,
+                )
+                cc = np.asarray(m_conf)
                 return np.interp(out["confidence"], cc[::-1], c[::-1])
 
             out["trans_err"] = cm(m_trans)
@@ -287,16 +323,15 @@ class DetectionEvaluator:
 
     def evaluate(self) -> dict:
         cfg = self.cfg
-        all_names = list(DEFAULT_CLASS_RANGE)
         aps = {}
         tp_errs = {
             k: {} for k in ("trans", "scale", "orient", "vel", "attr")
         }
         for cname in cfg.class_names:
-            # labels always use the canonical 10-class nuScenes ids
-            ci = all_names.index(cname) if cname in all_names else list(
-                cfg.class_names
-            ).index(cname)
+            # labels index cfg.class_names — the same space add_sample
+            # uses for attribute selection (for the default config this
+            # IS the canonical 10-class nuScenes id)
+            ci = list(cfg.class_names).index(cname)
             cls_aps = []
             for th in cfg.dist_ths:
                 md = self._accumulate(ci, cname, th)

@@ -55,7 +55,9 @@ def _yaw_quat(yaw: float) -> np.ndarray:
 
 
 def select_attribute(name: str, velocity) -> str:
-    """The reference's speed-based attribute rule (:149-170)."""
+    """The reference's speed-based attribute rule (:149-170). Class
+    names outside the 10 nuScenes classes get the reference's neutral
+    '' fallback instead of crashing the eval loop."""
     if float(np.hypot(velocity[0], velocity[1])) > 0.2:
         if name in (
             "car",
@@ -67,12 +69,12 @@ def select_attribute(name: str, velocity) -> str:
             return "vehicle.moving"
         if name in ("bicycle", "motorcycle"):
             return "cycle.with_rider"
-        return DEFAULT_ATTRIBUTE[name]
+        return DEFAULT_ATTRIBUTE.get(name, "")
     if name == "pedestrian":
         return "pedestrian.standing"
     if name == "bus":
         return "vehicle.stopped"
-    return DEFAULT_ATTRIBUTE[name]
+    return DEFAULT_ATTRIBUTE.get(name, "")
 
 
 def boxes_to_nusc_annos(

@@ -10,11 +10,14 @@ def box(x, y, z=0.0, w=2.0, l=4.0, h=1.5, yaw=0.0, vx=0.0, vy=0.0):
 
 
 def test_perfect_predictions_give_map_one():
+    # labels index cfg.class_names (the detector's label space): with a
+    # custom 2-class list, pedestrian is label 1 — NOT the canonical
+    # nuScenes id 8 (add_sample and evaluate must agree on this)
     ev = DetectionEvaluator(
         DetectionConfig(class_names=("car", "pedestrian"))
     )
     gts = np.array([box(10, 0), box(-5, 3), box(0, 20)])
-    labels = np.array([0, 0, 8])
+    labels = np.array([0, 0, 1])
     ev.add_sample(gts, labels, np.array([0.9, 0.8, 0.95]), gts, labels)
     res = ev.evaluate()
     # only classes present can score; per-class AP for car & pedestrian = 1
@@ -56,6 +59,65 @@ def test_range_filter_drops_far_boxes():
     assert res["per_class_ap"]["car"] == 0.0  # no GT in range -> empty
 
 
+def test_range_filter_uses_ego_distance():
+    """The devkit's per-class range cut is on distance from the EGO, not
+    the sensor origin: with the nuScenes lidar ~0.94 m ahead of the ego
+    center, a car GT 49.5 m from the lidar can be >50 m from the ego.
+    add_sample(ego_xy=...) must apply the offset."""
+    gt = np.array([box(49.5, 0)])
+    pred = np.array([box(49.5, 0)])
+    # ego sits 0.94 m behind the lidar origin (lidar frame)
+    ego_xy = np.array([-0.94, 0.0])
+
+    ev_lidar = DetectionEvaluator()
+    ev_lidar.add_sample(pred, [0], [0.9], gt, [0])
+    assert ev_lidar.evaluate()["per_class_ap"]["car"] > 0.99
+
+    ev_ego = DetectionEvaluator()
+    ev_ego.add_sample(pred, [0], [0.9], gt, [0], ego_xy=ego_xy)
+    # 49.5 + 0.94 > 50 m from the ego -> filtered on both sides
+    assert ev_ego.evaluate()["per_class_ap"]["car"] == 0.0
+
+
+def test_cummean_devkit_nan_semantics():
+    """Leading-NaN TP-error entries must contribute 0 over the full
+    confidence grid (devkit cummean: nancumsum / cumsum(valid) with
+    where=count!=0), not left-clamp to the first valid mean. Two matched
+    cars: the high-confidence one has attribute-less GT (NaN attr err),
+    the low-confidence one mismatches (err 1) -> devkit mAAE averages
+    the [0, 0.5]-ish curve, the dropped-NaN variant would report ~1."""
+    ev = DetectionEvaluator()
+    gt = np.array([box(10, 0, vx=1.0), box(-10, 0, vx=1.0)])
+    pred = np.array([box(10, 0, vx=1.0), box(-10, 0, vx=1.0)])
+    ev.add_sample(
+        pred,
+        [0, 0],
+        [0.95, 0.4],
+        gt,
+        [0, 0],
+        gt_attrs=np.asarray(["", "vehicle.parked"], object),
+    )
+    # pred attr for a moving car is vehicle.moving -> mismatch err 1 on
+    # the second match only; devkit cummean = [0 (no valid yet), 1/1]
+    # -> attr curve is 0 up to recall 0.5 then rises to 1; averaged over
+    # the recall grid [0.11, 1.0] that is 25.5/90
+    md = ev._accumulate(0, "car", 2.0)
+    got = ev._calc_tp(md, "attr_err")
+    np.testing.assert_allclose(got, 25.5 / 90.0, atol=1e-9)
+    # the dropped-NaN variant reported a constant 1.0 here
+    assert got < 0.5
+    res = ev.evaluate()
+    assert "mAAE" in res  # classes with no data contribute their 1.0
+    np.testing.assert_allclose(res["mAAE"], (got + 7.0) / 8.0, atol=1e-9)
+
+
+def test_select_attribute_unknown_class_is_neutral():
+    from graph_detr4d_tpu.eval.submission import select_attribute
+
+    assert select_attribute("van", (0.0, 0.0)) == ""
+    assert select_attribute("van", (3.0, 0.0)) == ""
+
+
 def test_duplicate_predictions_hurt_precision():
     ev_dup = DetectionEvaluator()
     ev_clean = DetectionEvaluator()
@@ -77,7 +139,9 @@ def test_orientation_error_period_for_barrier():
     ev = DetectionEvaluator(DetectionConfig(class_names=("barrier",)))
     gt = np.array([box(10, 0, yaw=0.0)])
     pred = np.array([box(10, 0, yaw=np.pi)])  # barrier: period pi -> err 0
-    ev.add_sample(pred, np.array([5]), np.array([0.9]), gt, np.array([5]))
+    # label 0 = barrier in THIS config's label space (labels index
+    # cfg.class_names, not the canonical 10-class ids)
+    ev.add_sample(pred, np.array([0]), np.array([0.9]), gt, np.array([0]))
     res = ev.evaluate()
     assert res["mAOE"] < 1e-6
 

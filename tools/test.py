@@ -127,9 +127,13 @@ def main():
     _pending = []
 
     def run_batch(
-        batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None
+        batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None,
+        ego_xys=None,
     ):
-        submit_batch(batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs)
+        submit_batch(
+            batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs,
+            ego_xys,
+        )
         while len(_pending) > 1:
             finish_batch(_pending.pop(0))
 
@@ -138,7 +142,8 @@ def main():
             finish_batch(_pending.pop(0))
 
     def submit_batch(
-        batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None
+        batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None,
+        ego_xys=None,
     ):
         if mesh is not None:
             from graph_detr4d_tpu.parallel.mesh import shard_batch
@@ -163,11 +168,13 @@ def main():
         else:
             det = eval_step(state.params, state.batch_stats, dev_batch)
         _pending.append(
-            (det, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs)
+            (det, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs,
+             ego_xys)
         )
 
     def finish_batch(item):
-        det, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs = item
+        (det, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs,
+         ego_xys) = item
         boxes = np.asarray(det.bboxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
@@ -187,6 +194,7 @@ def main():
                 gt_bboxes[b][gkeep],
                 gt_labels[b][gkeep],
                 gt_attrs=battrs,
+                ego_xy=None if ego_xys is None else ego_xys[b],
             )
             if jax.process_count() > 1:
                 eval_samples.append(
@@ -203,6 +211,10 @@ def main():
                     + [
                         [] if battrs is None
                         else [str(a) for a in battrs]
+                    ]
+                    + [
+                        [] if ego_xys is None or ego_xys[b] is None
+                        else np.asarray(ego_xys[b]).tolist()
                     ]
                 )
             results.append(
@@ -322,6 +334,7 @@ def main():
                 gt_attrs=(
                     s["gt_attrs"][None] if "gt_attrs" in s else None
                 ),
+                ego_xys=[s.get("ego_xy")],
             )
 
     drain_batches()
@@ -373,6 +386,11 @@ def main():
                     gt_attrs=(
                         np.asarray(es[5], object)
                         if len(es) > 5 and es[5]
+                        else None
+                    ),
+                    ego_xy=(
+                        np.asarray(es[6], np.float64)
+                        if len(es) > 6 and es[6]
                         else None
                     ),
                 )

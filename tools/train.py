@@ -250,6 +250,7 @@ def main():
                         if "gt_attrs" in s
                         else None
                     ),
+                    ego_xy=s.get("ego_xy"),
                 )
             m = evaluator.evaluate()
             return {

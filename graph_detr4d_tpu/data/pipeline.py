@@ -222,7 +222,11 @@ def global_rot_scale_trans(
     xyz = out[..., :3] @ R[:3, :3].T
     out[..., :3] = xyz * s
     out[..., 3:6] *= s
-    out[..., 6] += a
+    # centers rotate by R(+a); in the stored (mmdet3d-info) yaw
+    # convention — devkit yaw = -yaw_info - pi/2, submission.py:100 —
+    # that means yaw DECREASES by a (the reference's reverse_angle=True
+    # boxes.rotate(-a) does yaw += -a, transform_3d.py:505-508)
+    out[..., 6] -= a
     if out.shape[-1] > 7:
         out[..., 7:9] = out[..., 7:9] @ R[:2, :2].T * s
     return l2i, out
@@ -360,18 +364,17 @@ def scale_aware_resize(
     S = np.eye(4)
     S[0, 0] = S[1, 1] = resize_factor
     cam2img = [S @ intrinsics[i] for i in range(N)]
+    inv_c = [np.linalg.inv(c) for c in cam2img]
     depth_factors = np.asarray(
         [
             1.0
             / (
                 np.linalg.norm(
-                    np.stack(
-                        [np.linalg.inv(c)[0, 0], np.linalg.inv(c)[1, 1]]
-                    )
+                    np.stack([ic[0, 0], ic[1, 1]])
                 )
                 * scale_depth_by_focal_lengths_factor
             )
-            for c in cam2img
+            for ic in inv_c
         ],
         np.float32,
     )
@@ -469,6 +472,7 @@ def build_batch(
     maps, intrs, ida_scales = [], [], []
     extra_mults = [m for m in (tta_resize_mults or ()) if m != 1.0]
     extra_images = [[] for _ in extra_mults]
+    extra_l2is = [[] for _ in extra_mults]
     if extra_mults:
         assert not training and not use_native, (
             "tta_resize_mults is an eval-only python-path feature"
@@ -503,9 +507,9 @@ def build_batch(
         )
 
         def _tta_ida(mult):
-            # perturb the eval resize and recenter the crop; the
-            # composed ida keeps projections consistent so
-            # aug_forward's feature average stays aligned
+            # perturb the eval resize and recenter the crop; each copy
+            # carries its own composed ida @ lidar2img so aug_forward
+            # samples every copy with matching calibration
             r = p.resize * mult
             newW, newH = int(eff_src[1] * r), int(eff_src[0] * r)
             fH, fW = final_hw
@@ -559,15 +563,19 @@ def build_batch(
                 cams.append(pad_to_divisor(img_a))
                 mats.append(m)
             # extra TTA copies reuse the already-decoded images (no
-            # repeated JPEG I/O per multiplier)
+            # repeated JPEG I/O per multiplier); each copy keeps its OWN
+            # composed ida @ lidar2img so the head samples every copy
+            # with calibration that matches its pixels
             for mi, mult in enumerate(extra_mults):
                 pm = _tta_ida(mult)
-                copy_cams = []
-                for img in imgs_raw:
-                    img_m, _ = apply_ida(img, np.eye(4), pm)
+                copy_cams, copy_mats = [], []
+                for img, l2i in zip(imgs_raw, l2is_raw):
+                    img_m, m = apply_ida(img, l2i, pm)
                     img_m = normalize_image(img_m, mean, std, bgr)
                     copy_cams.append(pad_to_divisor(img_m))
+                    copy_mats.append(m)
                 extra_images[mi].append(np.stack(copy_cams))
+                extra_l2is[mi].append(np.asarray(copy_mats))
         mats = np.asarray(mats)
         if use_rot:
             mats, bboxes = global_rot_scale_trans(mats, bboxes, rng)
@@ -596,11 +604,15 @@ def build_batch(
     if extra_mults:
         images = [np.stack(images)] + [np.stack(e) for e in extra_images]
         images = np.stack(images)  # (A, B, N, H, W, 3)
+        # matching (A, B, N, 4, 4) calibration stack, copy 0 = base ida
+        l2is = [np.stack(l2is)] + [np.stack(e) for e in extra_l2is]
+        l2is = np.stack(l2is)
     else:
         images = np.stack(images)
+        l2is = np.stack(l2is)
     batch = {
         "images": images,
-        "lidar2img": np.stack(l2is).astype(np.float32),
+        "lidar2img": np.asarray(l2is, np.float32),
         "gt_bboxes": np.stack(gtb),
         "gt_labels": np.stack(gtl),
         "gt_valid": np.stack(gtv),

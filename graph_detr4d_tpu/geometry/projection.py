@@ -123,6 +123,13 @@ def project_points_to_cameras(
 ):
     """Project metric 3D points into every camera.
 
+    Reference/test implementation of the projection semantics: the hot
+    sampling path in models/attention.py:140-156 inlines the identical
+    math (homogeneous matmul, eps depth divide, strict (0,1) mask) in
+    its own fused layout — keep the two in sync when changing either
+    (tests/test_geometry.py locks this helper; the attention goldens
+    lock the inline copy).
+
     Args:
       points:    (B, P, 3) metric lidar-frame points.
       lidar2img: (B, N, 4, 4) per-camera projection matrices.

@@ -138,23 +138,38 @@ class GraphDETR4D(nn.Module):
     def aug_forward(
         self,
         images_list,  # list of (B, N, H, W, 3) augmented copies
-        lidar2img: jnp.ndarray,  # (B, N, 4, 4) of the first (reference) aug
+        lidar2img,  # (B, N, 4, 4) shared, or a list of per-copy mats
         **head_kwargs,  # mean_time_stamp / intrinsics / ida_scale / ...
     ):
-        """Test-time augmentation (detr3d.py aug_test/aug_test_pts
-        :192-216): per-level feature maps are averaged across the
-        augmented inputs, then the head runs once on the first view's
-        calibration (and its temporal/cam-aware side inputs)."""
-        feats_per_aug = [
-            self.extract_feats(im, False, None) for im in images_list
-        ]
-        mean_feats = [
-            sum(level) / float(len(feats_per_aug))
-            for level in zip(*feats_per_aug)
-        ]
-        return self.forward_feats(
-            mean_feats, lidar2img, train=False, **head_kwargs
+        """Test-time augmentation: full forward per copy, each with its
+        OWN composed calibration, then average the head outputs (logits
+        and normalized box preds are query-aligned across copies — the
+        decoder starts from the same learned queries).
+
+        Deliberate deviation from the reference's aug_test
+        (detr3d.py:192-216), which averages FEATURE maps and reuses copy
+        0's calibration: for resize TTA the copies' features are
+        spatially shifted, so that average samples the wrong locations.
+        The reference never exercises it (its shipped test pipelines run
+        a single copy, flip=False — configs/detr4d/...12e.py:167-178);
+        output averaging is exact for identical copies and geometrically
+        aligned for resized ones."""
+        l2is = (
+            list(lidar2img)
+            if isinstance(lidar2img, (list, tuple))
+            or getattr(lidar2img, "ndim", 4) == 5
+            else [lidar2img] * len(images_list)
         )
+        outs = []
+        for im, l2i in zip(images_list, l2is):
+            feats = self.extract_feats(im, False, None)
+            outs.append(
+                self.forward_feats(
+                    feats, l2i, train=False, **head_kwargs
+                )
+            )
+        n = float(len(outs))
+        return jax.tree.map(lambda *xs: sum(xs) / n, *outs)
 
     def forward_feats(
         self,

@@ -82,6 +82,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
         else data_s
     )
 
+    if getattr(batch.get("images"), "ndim", 0) == 6:
+        # (A, B, N, H, W, 3) TTA stack: P('data') would shard the
+        # TTA-copy axis, not the batch — misaligned with lidar2img's
+        # batch sharding. TTA is a single-host, no-mesh path
+        # (tools/test.py gates it); fail loudly instead of mis-sharding.
+        raise ValueError(
+            "shard_batch cannot shard a TTA image stack (ndim 6); run "
+            "--tta-resizes without a device mesh"
+        )
+
     def place(v, s):
         if jax.process_count() > 1:
             # multi-host: each process holds its LOCAL batch shard; the

@@ -94,6 +94,39 @@ def test_global_rot_scale_projection_consistency():
         np.testing.assert_allclose(uv_new, uv_old, atol=1e-2)
 
 
+def test_global_rot_yaw_consistent_with_heading():
+    """The yaw update must keep the box HEADING consistent with the
+    rotated centers. In the stored yaw convention (devkit yaw =
+    -yaw_info - pi/2, eval/submission.py:100), a world rotated CCW by a
+    rotates headings by R(+a) in xy — so yaw_info decreases by a
+    (reference reverse_angle=True: boxes.rotate(-a),
+    transform_3d.py:505-508). The old '+= a' produced a 2a heading
+    error that only a heading-endpoint check catches (center-projection
+    tests are yaw-blind)."""
+    l2i = make_l2i()[None]
+    boxes = np.zeros((1, 9), np.float32)
+    boxes[0, :3] = [2.0, 1.0, 10.0]
+    boxes[0, 3:6] = 2.0
+    boxes[0, 6] = 0.7
+
+    def heading_xy(yaw_info):
+        phi = -yaw_info - np.pi / 2  # devkit/global heading angle
+        return np.array([np.cos(phi), np.sin(phi)])
+
+    rng = np.random.RandomState(3)
+    l2i_new, boxes_new = global_rot_scale_trans(l2i, boxes.copy(), rng)
+    # recover the applied rotation/scale from the center transform
+    rng2 = np.random.RandomState(3)
+    a = rng2.uniform(-0.3925, 0.3925)
+    ca, sa = np.cos(a), np.sin(a)
+    R2 = np.array([[ca, -sa], [sa, ca]])
+    np.testing.assert_allclose(
+        heading_xy(boxes_new[0, 6]),
+        R2 @ heading_xy(boxes[0, 6]),
+        atol=1e-6,
+    )
+
+
 def test_dataset_reader_synthetic_pkl(tmp_path):
     """Build a fake infos pkl in the reference layout and read it."""
     from graph_detr4d_tpu.data.nuscenes import (

@@ -25,6 +25,7 @@ import flax.linen as nn
 
 from ..config import ModelConfig
 from ..core.losses import detr3d_loss
+from ..geometry.boxes import normalize_bbox, denormalize_bbox
 from .losses import (
     soft_binary_cross_entropy,
     match_soft_targets,
@@ -123,7 +124,12 @@ def instance_distill_loss(
 
         def per_image(sc, sb, tc, tb):
             t_scores = jax.nn.sigmoid(tc.astype(jnp.float32))
-            t_codes = tb.astype(jnp.float32)
+            # The reference DENORMALIZES teacher codes to 9-DoF boxes
+            # (detr4d_distiller.py:164-166) and both the assigner and
+            # loss_distill_single re-NORMALIZE them — a roundtrip that
+            # renormalizes the (sin, cos) columns to the unit circle
+            # (atan2 then sin/cos). Exact sizes/centers are unchanged.
+            t_codes = normalize_bbox(denormalize_bbox(tb.astype(jnp.float32)))
             k = dcfg.teacher_top_k
             if k is not None and k < t_scores.shape[0]:
                 _, idx = jax.lax.top_k(t_scores.max(-1), k)

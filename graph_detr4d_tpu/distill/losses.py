@@ -22,15 +22,19 @@ from ..ops.hungarian import hungarian_assignment
 
 
 def bce_cost_matrix(student_logits: jnp.ndarray, teacher_scores: jnp.ndarray):
-    """(Q_s, C) logits x (Q_t, C) soft scores -> (Q_s, Q_t) BCE cost."""
+    """(Q_s, C) logits x (Q_t, C) soft scores -> (Q_s, Q_t) BCE cost.
+
+    Summed (NOT averaged) over classes: the reference's
+    DistillCrossEntropyLossCost computes `n = cls_pred.shape[1]` but never
+    divides by it (match_cost.py:56-78), so the class-sum scale is what the
+    configured cls/reg cost ratio (1.0 / 0.25) was tuned against.
+    """
     s = student_logits.astype(jnp.float32)
     t = teacher_scores.astype(jnp.float32)
-    C = s.shape[-1]
     # BCE(s_i, t_j) summed over classes, stable log terms
     log_p = jax.nn.log_sigmoid(s)  # (Qs, C)
     log_np = jax.nn.log_sigmoid(-s)
-    cost = -(log_p @ t.T + log_np @ (1.0 - t).T)
-    return cost / C
+    return -(log_p @ t.T + log_np @ (1.0 - t).T)
 
 
 def soft_binary_cross_entropy(

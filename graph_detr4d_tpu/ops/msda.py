@@ -349,7 +349,12 @@ def multi_scale_deformable_attention(
     }
     import os as _os
 
-    base = impls[_os.environ.get("GRD4D_MSDA_IMPL", impl)]
+    # Resolve the effective impl ONCE (env var wins) so the one-hot
+    # small-level branch keys off the same choice: selecting 'gather4'
+    # (by param or env) yields a PURE gather baseline with no one-hot
+    # levels — required for honest A/B measurements.
+    impl = _os.environ.get("GRD4D_MSDA_IMPL", impl)
+    base = impls[impl]
     out = jnp.zeros((B, Q * P, nheads, hd), dtype=values[0].dtype)
     for lvl in range(L):
         loc = locations[:, :, :, lvl].transpose(0, 1, 3, 2, 4).reshape(

@@ -81,7 +81,7 @@ def test_teacher_top_k_parity_and_reduction():
     ts, tb_k = t_scores[idx], np.asarray(t_box[0, 0])[idx]
     log_p = -np.logaddexp(0, -sc)
     log_np = -np.logaddexp(0, sc)
-    cost = -(log_p @ ts.T + log_np @ (1 - ts).T) / C
+    cost = -(log_p @ ts.T + log_np @ (1 - ts).T)
     cost += 0.25 * np.abs(
         sb[:, None, :8] - tb_k[None, :, :8]
     ).sum(-1)

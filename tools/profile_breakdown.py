@@ -66,13 +66,17 @@ def build(H, W, N, use_dcn=True, cam_capacity=0.5, batch_size=1):
     return cfg, model, variables, imgs, l2i
 
 
-FILTERS = [a for a in sys.argv[1:] if not a.startswith("-")]
+def _filters():
+    # Parsed lazily so importing this module never swallows another
+    # process's argv (advisor finding, round 2).
+    return [a for a in sys.argv[1:] if not a.startswith("-")]
 
 
 def measure(tag, H=640, W=1600, N=6, **kw):
     # Optional substring filters: `profile_breakdown.py batch-4` runs only
     # the matching measurements (saves chip time for targeted A/Bs).
-    if FILTERS and not any(f in tag for f in FILTERS):
+    filters = _filters()
+    if filters and not any(f in tag for f in filters):
         return None
     cfg, model, variables, imgs, l2i = build(H, W, N, **kw)
 

@@ -59,6 +59,36 @@ def _yaw_diff(a, b, period=2 * np.pi):
     return np.minimum(d, period - d)
 
 
+# classes subject to the devkit's bike-rack filter (filter_eval_boxes:
+# boxes whose center lies inside a `static_object.bicycle_rack`
+# annotation box are removed from BOTH predictions and GT)
+_BIKE_RACK_CLASSES = ("bicycle", "motorcycle")
+
+
+def _center_in_any_rack(xyz: np.ndarray, racks: np.ndarray) -> np.ndarray:
+    """(n,) bool: is each center inside any rack box.
+
+    `racks` is (m, 7) in the detector box layout (cx, cy, cz, w, l, h,
+    yaw) with w = x-extent, l = y-extent in the box frame — the same
+    convention as gt_boxes. Mirrors the devkit's
+    `points_in_box(rack, box.translation)` test (oriented 3D
+    containment, wlh_factor 1)."""
+    racks = np.asarray(racks, np.float64).reshape(-1, 7)
+    if len(racks) == 0 or len(xyz) == 0:
+        return np.zeros(len(xyz), bool)
+    d = xyz[:, None, :] - racks[None, :, :3]  # (n, m, 3)
+    c, s = np.cos(racks[:, 6]), np.sin(racks[:, 6])
+    # rotate into each rack's frame: R(-yaw) @ (p - c)
+    px = c * d[..., 0] + s * d[..., 1]
+    py = -s * d[..., 0] + c * d[..., 1]
+    inside = (
+        (np.abs(px) <= racks[None, :, 3] / 2)
+        & (np.abs(py) <= racks[None, :, 4] / 2)
+        & (np.abs(d[..., 2]) <= racks[None, :, 5] / 2)
+    )
+    return inside.any(axis=1)
+
+
 def _aligned_iou(size_a, size_b):
     """3D IoU of two boxes with aligned center and yaw: per-axis min/max."""
     inter = np.prod(np.minimum(size_a, size_b))
@@ -114,6 +144,7 @@ class DetectionEvaluator:
         gt_labels: np.ndarray,
         gt_attrs=None,  # (n,) attribute-name strings; enables AAE
         ego_xy=None,  # (2,) ego origin in the boxes' frame; see below
+        bike_racks=None,  # (m, 7) bicycle_rack boxes; see below
     ):
         """Labels are indices into cfg.class_names (the detector's label
         space) for BOTH predictions and GT.
@@ -123,9 +154,39 @@ class DetectionEvaluator:
         on nuScenes). The devkit's per-class range filter cuts on
         distance from the EGO, not the lidar origin; omitting ego_xy
         falls back to the boxes' origin (a <=0.94 m boundary bias vs the
-        devkit)."""
+        devkit).
+
+        `bike_racks` (optional, default off): the sample's
+        `static_object.bicycle_rack` annotation boxes, (m, 7) in the
+        same frame and (cx, cy, cz, w, l, h, yaw) layout as gt_boxes.
+        When given, bicycle/motorcycle boxes (pred AND gt) whose center
+        lies inside any rack are removed — the devkit's
+        filter_eval_boxes bike-rack rule, the one filtering step beyond
+        range/zero-point the devkit applies."""
         pred_boxes = np.asarray(pred_boxes, np.float64).reshape(-1, 9)
         gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 9)
+
+        if bike_racks is not None:
+            names = list(self.cfg.class_names)
+            rack_cls = {
+                i for i, n in enumerate(names) if n in _BIKE_RACK_CLASSES
+            }
+
+            def keep(boxes, labels):
+                labels = np.asarray(labels).reshape(-1)
+                is_bike = np.isin(labels, list(rack_cls) or [-1])
+                inside = _center_in_any_rack(boxes[:, :3], bike_racks)
+                return ~(is_bike & inside)
+
+            kp = keep(pred_boxes, pred_labels)
+            pred_boxes = pred_boxes[kp]
+            pred_labels = np.asarray(pred_labels).reshape(-1)[kp]
+            pred_scores = np.asarray(pred_scores).reshape(-1)[kp]
+            kg = keep(gt_boxes, gt_labels)
+            gt_boxes = gt_boxes[kg]
+            gt_labels = np.asarray(gt_labels).reshape(-1)[kg]
+            if gt_attrs is not None:
+                gt_attrs = np.asarray(gt_attrs, object).reshape(-1)[kg]
         k = min(len(pred_boxes), self.cfg.max_boxes_per_sample)
         order = np.argsort(-np.asarray(pred_scores))[:k]
         # predicted attribute = the formatter's speed rule applied at

@@ -18,11 +18,12 @@ Two load-bearing reference quirks (guarded by tests/test_golden_petr.py):
     petr_transformer.py:418-422, 443-445) — on top of each layer's own
     final norm, so layer outputs are LayerNorm'd twice;
 
-Scope note: the reference also threads a padding mask (non-÷32 image
-tails) into the cross-attention key_padding_mask and the sine PE cumsum.
-Every shipped petr config's final_dim (320x800 / 640x1600) is already
-÷32, so the mask is all-zero in practice; this head assumes unpadded
-inputs (masks would be all-zero) and omits it.
+Padding-mask path: the reference threads a padding mask (non-÷32 image
+tails) into the cross-attention key_padding_mask and the sine PE cumsum
+(petr_head.py:377-387, petr_transformer.py:95-105). Implemented here via
+the optional `img_valid_hw` argument (per-camera valid image extents);
+None — every shipped config's final_dim is ÷32-exact, mask all-zero —
+takes the unmasked path, which coincides exactly.
   * box denormalization uses `pc_range` (from the bbox coder,
     petr_head.py:210, 440-442), NOT `position_range` (which only scales
     the 3D position embedding, :317-320) — the two differ in every PETR
@@ -73,7 +74,15 @@ class PETRDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, query_pos, memory, key_pos, deterministic=True):
+    def __call__(
+        self,
+        query,
+        query_pos,
+        memory,
+        key_pos,
+        deterministic=True,
+        key_valid=None,  # (B, K) bool, False = padded token (excluded)
+    ):
         q = query + query_pos
         sa = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
@@ -95,6 +104,12 @@ class PETRDecoderLayer(nn.Module):
             memory + key_pos,
             memory,
             deterministic=deterministic,
+            # torch key_padding_mask parity: padded pixels never attended
+            mask=(
+                None
+                if key_valid is None
+                else key_valid[:, None, None, :]
+            ),
         )
         query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             query
@@ -166,7 +181,15 @@ class PETRHead(nn.Module):
         lidar2img: jnp.ndarray,
         deterministic: bool = True,
         mean_time_stamp: Optional[jnp.ndarray] = None,  # (B,) seconds
+        img_valid_hw: Optional[jnp.ndarray] = None,  # (B, N, 2) see below
     ):
+        """`img_valid_hw` (optional): per-camera valid (img_h, img_w) in
+        padded-image pixels, for inputs whose true image is smaller than
+        the ÷32-padded canvas. Enables the reference's padding-mask path
+        (petr_head.py:377-387 mask build + F.interpolate,
+        petr_transformer.py:95-105 key_padding_mask, and the masked sine
+        PE cumsum). Omit (None) for ÷32-exact inputs — every shipped
+        config — where the mask is all-zero and the paths coincide."""
         cfg = self.cfg
         C = cfg.embed_dims
         feat = mlvl_feats[0]
@@ -219,7 +242,26 @@ class PETRHead(nn.Module):
             # PE (petrv2_head.py:453-454)
             pos3d = SELayer(C, dtype=self.dtype, name="fpe")(pos3d, x)
 
-        mask = jnp.zeros((B, N, H, W), jnp.float32)
+        if img_valid_hw is None:
+            mask = jnp.zeros((B, N, H, W), jnp.float32)
+            key_valid = None
+        else:
+            # reference mask build: ones on the pad canvas, zero over each
+            # camera's true image, then F.interpolate(mode='nearest') to
+            # the feature grid — output pixel i samples input
+            # floor(i * pad/H), so feature cell (y, x) is VALID iff
+            # floor(y*pad_h/H) < img_h and floor(x*pad_w/W) < img_w
+            ys = jnp.floor(
+                jnp.arange(H, dtype=jnp.float32) * pad_h / H
+            )
+            xs = jnp.floor(
+                jnp.arange(W, dtype=jnp.float32) * pad_w / W
+            )
+            vy = ys[None, None, :] < img_valid_hw[..., 0:1]  # (B, N, H)
+            vx = xs[None, None, :] < img_valid_hw[..., 1:2]  # (B, N, W)
+            valid = vy[..., :, None] & vx[..., None, :]  # (B, N, H, W)
+            mask = 1.0 - valid.astype(jnp.float32)
+            key_valid = valid.reshape(B, N * H * W)
         # petr configs use the sine default offset=0 (the flagship detr4d
         # config sets offset=-0.5; petr_r50dcn_gridmask_p4.py:92 does not)
         sin = sine_positional_encoding_3d(
@@ -291,7 +333,7 @@ class PETRHead(nn.Module):
                 dropout=cfg.dropout,
                 dtype=self.dtype,
                 name=f"layer{lid_}",
-            )(query, query_pos, memory, key_pos, deterministic)
+            )(query, query_pos, memory, key_pos, deterministic, key_valid)
             inter = post_norm(query)
             score = cls_branches[lid_](inter).astype(jnp.float32)
             tmp = reg_branches[lid_](inter).astype(jnp.float32)

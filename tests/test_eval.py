@@ -363,3 +363,45 @@ def test_nms_free_decode_matches_torch_oracle():
     np.testing.assert_array_equal(np.asarray(det.labels), labels_t.numpy())
     np.testing.assert_allclose(np.asarray(det.bboxes), boxes_t, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(det.valid), keep)
+
+
+def test_bike_rack_filter_devkit_semantics():
+    """filter_eval_boxes bike-rack rule: bicycle/motorcycle boxes whose
+    center falls inside a static_object.bicycle_rack box are removed from
+    BOTH predictions and GT; other classes are untouched (devkit
+    filter_eval_boxes, driven from multi_nuscenes_dataset.py:196-260)."""
+    names = ("car", "bicycle", "motorcycle")
+    # rack at (10, 0), 4 x 6 footprint, rotated 90 deg: local x-extent
+    # (w=4) lies along world Y, local y-extent (l=6) along world X
+    rack = np.array([[10.0, 0.0, 0.5, 4.0, 6.0, 2.0, np.pi / 2]])
+
+    bike_in = box(11.5, 0.5, 0.5)  # inside (|dx|=1.5 <= 6/2, |dy|=0.5 <= 4/2)
+    bike_out = box(14.0, 0.0, 0.5)  # outside along rotated l/2=3 extent
+    car_in = box(10.0, 0.0, 0.5)  # inside but not a bike class
+    moto_in = box(9.0, -1.0, 0.5)
+
+    gts = np.array([bike_in, bike_out, car_in, moto_in])
+    labels = np.array([1, 1, 0, 2])
+    scores = np.array([0.9, 0.8, 0.95, 0.85])
+
+    ev = DetectionEvaluator(DetectionConfig(class_names=names))
+    ev.add_sample(gts, labels, scores, gts, labels, bike_racks=rack)
+    # stored sets lost exactly the in-rack bike + moto (pred and gt alike)
+    assert len(ev.preds[-1]) == 2 and len(ev.gts[-1]) == 2
+    assert list(ev.gts[-1].label) == [1, 0]
+    res = ev.evaluate()
+    assert res["per_class_ap"]["bicycle"] > 0.99  # out-of-rack bike kept
+    assert res["per_class_ap"]["car"] > 0.99
+
+    # default off: no racks -> nothing filtered
+    ev2 = DetectionEvaluator(DetectionConfig(class_names=names))
+    ev2.add_sample(gts, labels, scores, gts, labels)
+    assert len(ev2.preds[-1]) == 4
+
+    # yaw matters: unrotated rack has w=4 along X -> bike at (14, 0) is
+    # outside (|dx|=4 > 4/2), bike at (11.5, .5) needs |dy| <= 6/2 - ok
+    rack0 = rack.copy()
+    rack0[0, 6] = 0.0
+    ev3 = DetectionEvaluator(DetectionConfig(class_names=names))
+    ev3.add_sample(gts, labels, scores, gts, labels, bike_racks=rack0)
+    assert len(ev3.gts[-1]) == 2  # bike_in dropped (|dx|=1.5<2, |dy|=.5<3)

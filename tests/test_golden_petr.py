@@ -133,13 +133,15 @@ class LayerOracle(tnn.Module):
         self.ffns = tnn.ModuleList([FFNOracle()])
         self.norms = tnn.ModuleList([tnn.LayerNorm(C) for _ in range(3)])
 
-    def forward(self, query, query_pos, memory, key_pos):
+    def forward(self, query, query_pos, memory, key_pos,
+                key_padding_mask=None):
         # tokens-first (num_tokens, B, C) like the reference
         q = query + query_pos
         out = self.attentions[0].attn(q, q, query)[0]
         query = self.norms[0](query + out)
         out = self.attentions[1].attn(
-            query + query_pos, memory + key_pos, memory
+            query + query_pos, memory + key_pos, memory,
+            key_padding_mask=key_padding_mask,
         )[0]
         query = self.norms[1](query + out)
         return self.norms[2](self.ffns[0](query))
@@ -151,10 +153,12 @@ class DecoderOracle(tnn.Module):
         self.layers = tnn.ModuleList([LayerOracle() for _ in range(NLAYERS)])
         self.post_norm = tnn.LayerNorm(C)
 
-    def forward(self, query, query_pos, memory, key_pos):
+    def forward(self, query, query_pos, memory, key_pos,
+                key_padding_mask=None):
         intermediate = []
         for layer in self.layers:
-            query = layer(query, query_pos, memory, key_pos)
+            query = layer(query, query_pos, memory, key_pos,
+                          key_padding_mask)
             intermediate.append(self.post_norm(query))
         return torch.stack(intermediate)
 
@@ -298,7 +302,8 @@ class PETRHeadOracle(tnn.Module):
         pe = self.position_encoder(coords3d)
         return pe.view(B, N, C, h, w)
 
-    def forward(self, feat, lidar2img, lid=True, mean_time_stamp=None):
+    def forward(self, feat, lidar2img, lid=True, mean_time_stamp=None,
+                img_valid_hw=None):
         # feat: (B, N, CIN, H, W)
         x = self.input_proj(feat.flatten(0, 1)).view(B, N, C, H, W)
         pos_embed = self.position_embeding(feat, lidar2img, lid)
@@ -306,7 +311,21 @@ class PETRHeadOracle(tnn.Module):
             pos_embed = self.fpe(
                 pos_embed.flatten(0, 1), x.flatten(0, 1)
             ).view(x.size())
-        masks = torch.zeros((B, N, H, W), dtype=torch.bool)
+        if img_valid_hw is None:
+            masks = torch.zeros((B, N, H, W), dtype=torch.bool)
+        else:
+            # reference mask build (petr_head.py:377-387): ones at pad
+            # res, zero over each cam's true image, nearest-interpolate
+            # to the feature grid
+            masks = torch.ones((B, N, PAD_H, PAD_W))
+            for b in range(B):
+                for n in range(N):
+                    ih, iw = img_valid_hw[b][n]
+                    masks[b, n, :ih, :iw] = 0
+            masks = (
+                tnn.functional.interpolate(masks, size=(H, W))
+                .to(torch.bool)
+            )
         sin_embed = sine_pe_3d_t(masks)  # (B, N, 3*NFEATS, H, W)
         sin_embed = self.adapt_pos3d(sin_embed.flatten(0, 1)).view(x.size())
         pos_embed = pos_embed + sin_embed
@@ -320,7 +339,10 @@ class PETRHeadOracle(tnn.Module):
         query_embeds = query_embeds.unsqueeze(1).repeat(1, B, 1)
         target = torch.zeros_like(query_embeds)
         outs_dec = self.transformer.decoder(
-            target, query_embeds, memory, pos_embed
+            target, query_embeds, memory, pos_embed,
+            key_padding_mask=(
+                None if img_valid_hw is None else masks.view(B, -1)
+            ),
         ).transpose(1, 2)  # (L, B, Q, C)
 
         outputs_classes, outputs_coords = [], []
@@ -492,3 +514,60 @@ def test_pos2posemb2d_matches_torch_oracle():
     py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), -1).flatten(-2)
     want = torch.cat((py, px), dim=-1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_petr_head_padding_mask_matches_torch_oracle():
+    """The padding-mask path (petr_head.py:377-387 mask build +
+    key_padding_mask, petr_transformer.py:95-105) vs the oracle with
+    non-÷32 per-camera image extents: the masked sine-PE cumsum AND the
+    excluded cross-attention keys must both match."""
+    torch.manual_seed(7)
+    oracle = PETRHeadOracle(v2=False).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            if p.dim() == 1:
+                p.add_(torch.randn_like(p) * 0.05)
+        oracle.reference_points.weight.uniform_(0.05, 0.95)
+
+    feat = torch.randn(B, N, CIN, H, W)
+    l2i = torch.from_numpy(_lidar2img())
+    # camera 0: image 12x20 (padded rows at the bottom); camera 1:
+    # 16x15 (padded cols at the right) — both non-trivial at the 4x5
+    # feature grid
+    valid_hw = [[(12, 20), (16, 15)]]
+    with torch.no_grad():
+        ref_cls, ref_bbox = oracle(
+            feat, l2i, lid=True, img_valid_hw=valid_hw
+        )
+        # sanity: masked forward differs from unmasked
+        ref_cls_nm, _ = oracle(feat, l2i, lid=True)
+        assert not torch.allclose(ref_cls, ref_cls_nm)
+
+    sd = {
+        "pts_bbox_head." + k: v.detach().numpy()
+        for k, v in oracle.state_dict().items()
+    }
+    variables = convert_state_dict(
+        sd, num_decoder_layers=NLAYERS, nheads=NHEADS
+    )
+    head = PETRHead(
+        cfg=_head_cfg(),
+        img_shape=(PAD_H, PAD_W),
+        position_range=PRANGE,
+        lid=True,
+    )
+    feats_j = jnp.asarray(feat.numpy().transpose(0, 1, 3, 4, 2))
+    out = head.apply(
+        {"params": variables["params"]["head"]},
+        [feats_j],
+        jnp.asarray(l2i.numpy()),
+        img_valid_hw=jnp.asarray(valid_hw, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["all_cls_scores"]), ref_cls.numpy(),
+        rtol=1e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["all_bbox_preds"]), ref_bbox.numpy(),
+        rtol=1e-4, atol=2e-4,
+    )

@@ -364,3 +364,120 @@ def test_eval_cli_petrv2_nuscenes_temporal(tmp_path):
     with open(out_json) as f:
         results = json.load(f)["results"]
     assert len(results) == 2
+
+
+def test_parity_run_dry_run(tmp_path):
+    """tools/parity_run.py end-to-end on synthetic assets: a tiny
+    exported .pth -> convert -> tools/test.py eval over a nuScenes-style
+    fixture -> baseline comparison JSON. Proves the one-command parity
+    harness before real checkpoints/data exist."""
+    import json
+    import pickle
+    import subprocess
+
+    import torch
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from graph_detr4d_tpu.config import tiny_test_config
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.data.nuscenes import CAM_ORDER
+    from graph_detr4d_tpu.geometry.transforms import (
+        quaternion_to_rotation_matrix,
+    )
+    from tools.convert_checkpoint import export_state_dict
+
+    rng = np.random.RandomState(7)
+
+    def cam_entry(seed):
+        r = np.random.RandomState(seed)
+        q = r.randn(4)
+        q /= np.linalg.norm(q)
+        img = (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"img{seed}.jpg")
+        Image.fromarray(img).save(p)
+        return {
+            "data_path": p,
+            "cam_intrinsic": np.array(
+                [[60.0, 0, 64], [0, 60.0, 32], [0, 0, 1]]
+            ),
+            "sensor2lidar_rotation": quaternion_to_rotation_matrix(q),
+            "sensor2lidar_translation": r.randn(3) * 0.1,
+            "sensor2ego_rotation": q,
+            "sensor2ego_translation": r.randn(3) * 0.1,
+            "ego2global_rotation": [1, 0, 0, 0],
+            "ego2global_translation": [10.0, 5.0, 0.0],
+            "timestamp": 1e15 + seed,
+        }
+
+    infos = []
+    for i in range(2):
+        infos.append(
+            {
+                "token": f"tok{i}",
+                "timestamp": 1e15 + i * 5e5,
+                "cams": {
+                    cam: cam_entry(i * 10 + j)
+                    for j, cam in enumerate(CAM_ORDER)
+                },
+                "sweeps": [],
+                "lidar2ego_rotation": [1, 0, 0, 0],
+                "lidar2ego_translation": [0.9, 0, 1.8],
+                "ego2global_rotation": [1, 0, 0, 0],
+                "ego2global_translation": [10.0, 5.0, 0.0],
+                "gt_boxes": rng.rand(2, 7).astype(np.float32) + 1,
+                "gt_names": np.array(["car", "bus"]),
+                "gt_velocity": rng.rand(2, 2).astype(np.float32),
+                "valid_flag": np.array([True, True]),
+            }
+        )
+    ann = str(tmp_path / "infos.pkl")
+    with open(ann, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "t"}}, f)
+
+    # tiny .pth in the reference layout via the golden-locked exporter
+    cfg = tiny_test_config()
+    model = GraphDETR4D(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, cfg.head.num_cams, *cfg.img_size, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, cfg.head.num_cams, 4, 4)),
+    )
+    sd = export_state_dict(
+        jax.tree.map(np.asarray, dict(variables)),
+        cfg.head.num_decoder_layers,
+        cfg.head.num_heads,
+    )
+    pth = str(tmp_path / "epoch_1.pth")
+    torch.save(
+        {"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
+        pth,
+    )
+
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(__file__), "..", "tools", "parity_run.py"
+            ),
+            "--pth", pth,
+            "--ann-file", ann,
+            "--tiny",
+            "--max-samples", "2",
+            "--work-dir", str(tmp_path / "wd"),
+            "--baseline-map", "0.0",
+            "--baseline-nds", "0.0",
+            "--extra-test-args=--no-temporal",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    verdict = json.loads(r.stdout.strip().splitlines()[-1])
+    assert {"mAP", "NDS", "delta_mAP", "delta_NDS"} <= set(verdict)
+    assert verdict["delta_mAP"] == verdict["mAP"]  # baseline 0

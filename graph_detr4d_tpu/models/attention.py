@@ -97,7 +97,6 @@ class Deform3DCrossAttn(nn.Module):
             self.num_points,
             self.num_cams,
         )
-        hd = C // H_heads
         residual = query
         q = query + query_pos
 
@@ -168,7 +167,11 @@ class Deform3DCrossAttn(nn.Module):
         attn = jax.nn.softmax(attn_logits.astype(jnp.float32), axis=-1)
         attn = attn.reshape(B, 1, Q, H_heads, L, P) * valid
 
-        # value projection per level, split into heads
+        # value projection per level. Passed as a callable into the MSDA
+        # op so large-level gather tables can be built from RAW features
+        # (layer-invariant -> XLA CSEs the 6 decoder layers' table builds
+        # into one) with the projection folded in after (ops/msda.py
+        # build_corner_table).
         vproj = nn.Dense(
             C,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -176,7 +179,7 @@ class Deform3DCrossAttn(nn.Module):
             name="value_proj",
         )
         values = [
-            vproj(v).reshape(B * N, v.shape[2], v.shape[3], H_heads, hd)
+            v.reshape(B * N, v.shape[2], v.shape[3], v.shape[-1])
             for v in value_levels
         ]
 
@@ -210,7 +213,11 @@ class Deform3DCrossAttn(nn.Module):
             )
             attn_flat = attn_sel.reshape(B * N, K, H_heads, L, P)
             sampled_sel = multi_scale_deformable_attention(
-                values, loc_flat, attn_flat.astype(self.dtype)
+                values,
+                loc_flat,
+                attn_flat.astype(self.dtype),
+                project=vproj,
+                nheads=H_heads,
             ).reshape(B, N, K, C)
             sampled = jnp.einsum(
                 "bnkc,bnkq->bnqc",
@@ -223,7 +230,11 @@ class Deform3DCrossAttn(nn.Module):
             )
             attn_flat = attn.reshape(B * N, Q, H_heads, L, P)
             sampled = multi_scale_deformable_attention(
-                values, loc_flat, attn_flat.astype(self.dtype)
+                values,
+                loc_flat,
+                attn_flat.astype(self.dtype),
+                project=vproj,
+                nheads=H_heads,
             )  # (B*N, Q, C)
             sampled = sampled.reshape(B, N, Q, C)
 

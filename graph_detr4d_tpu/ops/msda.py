@@ -131,17 +131,21 @@ def _sample_level_onehot(value, loc, attn):
     linear map  out = W @ V  with W (S, HW) holding the 4 corner weights
     per row — materialized via one_hot and contracted on the MXU. Exact;
     profitable when HW is small (TPU gathers cost ~11-17 ns/row, so a
-    (S, HW) x (HW, C) matmul beats S gathers once 2*HW*C flops per row is
-    cheaper than a row fetch — true for the top pyramid levels).
+    (S, HW) x (HW, hd) matmul beats S gathers once 2*HW*hd flops per row
+    is cheaper than a row fetch — true for the top pyramid levels).
 
-    Per-head locations are handled by contracting against the full
-    (nheads*hd) channel row and selecting each head's own slice after.
+    Per-head locations contract against the head's OWN hd channel slice
+    ((b, n)-batched matmul). An earlier formulation contracted every
+    head's one-hot row against the full nheads*hd channel row and took
+    the diagonal after — 8x the FLOPs and 8x the output traffic; XLA
+    fused the waste away at B=1 but materialized the full (B, S, nh, C)
+    f32 intermediate at B=4 (47 ms/step, the round-3 op trace's largest
+    head item).
     """
     B, H, W, nheads, hd = value.shape
     S = loc.shape[1]
     dtype = value.dtype
-    C = nheads * hd
-    vflat = value.reshape(B, H * W, C)
+    vh = value.reshape(B, H * W, nheads, hd).transpose(0, 2, 1, 3)
 
     x = loc[..., 0].astype(jnp.float32) * W - 0.5
     y = loc[..., 1].astype(jnp.float32) * H - 0.5
@@ -166,15 +170,12 @@ def _sample_level_onehot(value, loc, attn):
                 idx, H * W, dtype=dtype
             ) * w[..., None].astype(dtype)
 
-    g = jnp.einsum(
-        "bsni,bic->bsnc",
+    out = jnp.einsum(
+        "bsni,bnih->bsnh",
         onehot,
-        vflat,
+        vh,
         preferred_element_type=jnp.float32,
-    )  # (B, S, nheads, C) — head n's row sampled at head n's location
-    g = g.reshape(B, S, nheads, nheads, hd)
-    idxh = jnp.arange(nheads)
-    out = g[:, :, idxh, idxh, :]  # (B, S, nheads, hd)
+    )  # (B, S, nheads, hd) — head n's row sampled at head n's location
     return out.astype(dtype)
 
 
@@ -249,38 +250,57 @@ def _sample_level_pair(value, loc, attn):
     return out.transpose(0, 2, 1, 3)  # (B, S, nh, hd)
 
 
-def _sample_level_shift4h(value, loc, attn):
-    """Gather + weight one pyramid level as ONE row gather per sample over
-    a per-head, 4-corner-folded layout.
+def build_corner_table(value):
+    """Fold the 4 bilinear corners of a (B, H, W, C) map into one padded
+    table (B, (H+2)*(W+2), 4, C), corner order (y0x0, y0x1, y1x0, y1x1).
 
-    Combines the two measured wins: per-head contiguous tables (the 'pair'
-    lesson — interleaved heads fall off the gather fast path) AND all four
-    bilinear corners folded into a single fetched row (the 'shift4'
-    lesson — gathers are row-count-bound). Row width 4*hd stays within the
-    ~256 B fast-path window for hd=32 in bf16, so this halves the row
-    count of 'pair' at the same bytes/row cost class. Memory: 4x table
-    copies (vs pair's 2x) of one pyramid level, transient.
-
-    Args/returns identical to `_sample_level`.
-    """
-    B, H, W, nheads, hd = value.shape
-    S = loc.shape[1]
-    dtype = value.dtype
-
-    v = value.transpose(0, 3, 1, 2, 4)  # (B, nh, H, W, hd)
-    vpad = jnp.pad(v, ((0, 0), (0, 0), (1, 2), (1, 2), (0, 0)))
-    # corner order within a row: (y0x0, y0x1, y1x0, y1x1)
-    vcat = jnp.concatenate(
+    Built from RAW (pre-value_proj) features this is LAYER-INVARIANT:
+    the 6 decoder layers' calls produce identical HLO that XLA CSEs into
+    ONE table build per forward, eliminating the per-layer pad/concat
+    layout churn (~2 ms/layer at 640x1600 level 0, round-2 op trace).
+    The per-layer projection is applied to the folded table afterwards —
+    exact, because corner-copying commutes with the per-channel linear
+    map, and the zero-pad border picking up the projection bias is
+    harmless (out-of-bounds corners always carry weight 0)."""
+    B, H, W, C = value.shape
+    vpad = jnp.pad(value, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    vcat = jnp.stack(
         [
-            vpad[:, :, 0 : H + 2, 0 : W + 2],
-            vpad[:, :, 0 : H + 2, 1 : W + 3],
-            vpad[:, :, 1 : H + 3, 0 : W + 2],
-            vpad[:, :, 1 : H + 3, 1 : W + 3],
+            vpad[:, 0 : H + 2, 0 : W + 2],
+            vpad[:, 0 : H + 2, 1 : W + 3],
+            vpad[:, 1 : H + 3, 0 : W + 2],
+            vpad[:, 1 : H + 3, 1 : W + 3],
         ],
-        axis=-1,
-    )  # (B, nh, H+2, W+2, 4*hd)
+        axis=-2,
+    )  # (B, H+2, W+2, 4, C)
+    return vcat.reshape(B, (H + 2) * (W + 2), 4, C)
+
+
+def _sample_level_shift4h_table(table, hw, loc, attn):
+    """shift4h sampling from a PRE-PROJECTED corner table.
+
+    table: (B, (H+2)*(W+2), 4, nheads, hd) — build_corner_table output
+      with the per-layer value projection already applied.
+    hw: static (H, W) of the underlying level.
+    loc/attn as in `_sample_level`. Returns (B, S, nheads, hd).
+    """
+    H, W = hw
+    B, HpWp, _, nheads, hd = table.shape
+    dtype = table.dtype
+    # per-head contiguous rows: (B, nh, HpWp, 4*hd)
+    vflat = table.transpose(0, 3, 1, 2, 4).reshape(
+        B, nheads, HpWp, 4 * hd
+    )
+    return _shift4h_gather(vflat, H, W, loc, attn, dtype)
+
+
+def _shift4h_gather(vflat, H, W, loc, attn, dtype):
+    """Common shift4h core: one row gather per sample over a per-head,
+    4-corner-folded (B, nh, (H+2)*(W+2), 4*hd) table."""
+    B, nheads, _, row = vflat.shape
+    hd = row // 4
+    S = loc.shape[1]
     Hp, Wp = H + 2, W + 2
-    vflat = vcat.reshape(B, nheads, Hp * Wp, 4 * hd)
 
     x = loc[..., 0].astype(jnp.float32) * W - 0.5
     y = loc[..., 1].astype(jnp.float32) * H - 0.5
@@ -314,6 +334,39 @@ def _sample_level_shift4h(value, loc, attn):
     return out.transpose(0, 2, 1, 3)  # (B, S, nh, hd)
 
 
+def _sample_level_shift4h(value, loc, attn):
+    """Gather + weight one pyramid level as ONE row gather per sample over
+    a per-head, 4-corner-folded layout.
+
+    Combines the two measured wins: per-head contiguous tables (the 'pair'
+    lesson — interleaved heads fall off the gather fast path) AND all four
+    bilinear corners folded into a single fetched row (the 'shift4'
+    lesson — gathers are row-count-bound). Row width 4*hd stays within the
+    ~256 B fast-path window for hd=32 in bf16, so this halves the row
+    count of 'pair' at the same bytes/row cost class. Memory: 4x table
+    copies (vs pair's 2x) of one pyramid level, transient.
+
+    Args/returns identical to `_sample_level`.
+    """
+    B, H, W, nheads, hd = value.shape
+    dtype = value.dtype
+
+    v = value.transpose(0, 3, 1, 2, 4)  # (B, nh, H, W, hd)
+    vpad = jnp.pad(v, ((0, 0), (0, 0), (1, 2), (1, 2), (0, 0)))
+    # corner order within a row: (y0x0, y0x1, y1x0, y1x1)
+    vcat = jnp.concatenate(
+        [
+            vpad[:, :, 0 : H + 2, 0 : W + 2],
+            vpad[:, :, 0 : H + 2, 1 : W + 3],
+            vpad[:, :, 1 : H + 3, 0 : W + 2],
+            vpad[:, :, 1 : H + 3, 1 : W + 3],
+        ],
+        axis=-1,
+    )  # (B, nh, H+2, W+2, 4*hd)
+    vflat = vcat.reshape(B, nheads, (H + 2) * (W + 2), 4 * hd)
+    return _shift4h_gather(vflat, H, W, loc, attn, dtype)
+
+
 # below this pixel count a level is sampled by one-hot matmul on the MXU
 ONEHOT_MAX_PIXELS = 4200
 
@@ -325,22 +378,33 @@ def multi_scale_deformable_attention(
     impl: str = "shift4h",  # fastest measured on chip: 9.34/9.33 fps vs
     # 9.32/9.30 for 'pair' across two A/B rounds (PROFILE.md); override
     # per-call or via GRD4D_MSDA_IMPL
+    project=None,
+    nheads: int = None,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention over a feature pyramid.
 
     Args:
       values: list of L arrays (B, H_l, W_l, nheads, hd), channels-last.
+        With `project` given: RAW (B, H_l, W_l, C_in) maps instead.
       locations: (B, Q, nheads, L, P, 2) sampling locations in [0, 1], (x, y).
       attention_weights: (B, Q, nheads, L, P); caller is responsible for any
         softmax/masking (the reference does softmax over L*P then multiplies
         the projection-validity mask, deform3d_cross_attn.py:284).
+      project: optional per-channel linear map (the caller's value_proj,
+        applied to the LAST axis). When given, gather-table construction
+        runs on the RAW features — identical across decoder layers, so
+        XLA CSEs the 6 per-layer table builds into one — and the
+        projection is folded in afterwards (exact; see
+        build_corner_table). Requires `nheads`.
 
     Returns:
       (B, Q, nheads * hd) aggregated features.
     """
-    B, Q, nheads, L, P, _ = locations.shape
+    B, Q, nh, L, P, _ = locations.shape
     assert len(values) == L, (len(values), L)
-    hd = values[0].shape[-1]
+    if project is None:
+        nheads = nh
+    assert nheads == nh, (nheads, nh)
     impls = {
         "gather4": _sample_level,
         "shift4": _sample_level_shift4,
@@ -355,7 +419,7 @@ def multi_scale_deformable_attention(
     # levels — required for honest A/B measurements.
     impl = _os.environ.get("GRD4D_MSDA_IMPL", impl)
     base = impls[impl]
-    out = jnp.zeros((B, Q * P, nheads, hd), dtype=values[0].dtype)
+    out = None
     for lvl in range(L):
         loc = locations[:, :, :, lvl].transpose(0, 1, 3, 2, 4).reshape(
             B, Q * P, nheads, 2
@@ -364,19 +428,35 @@ def multi_scale_deformable_attention(
             B, Q * P, nheads
         )
         v = values[lvl]
-        small = v.shape[1] * v.shape[2] <= ONEHOT_MAX_PIXELS
-        # rematerialize the one-hot path: its (B, S, nheads, H*W) weight
-        # matrix is cheap to recompute but multi-GB if saved for backward
-        # (at 320x800 train resolution ALL four levels fall under the
-        # threshold; saving them exhausted HBM and crashed the worker on
-        # the 12-cam train step — same failure mode as the DCN one-hot
-        # postmortem, CLAUDE.md 2026-08-17)
-        sample = (
-            jax.checkpoint(_sample_level_onehot)
-            if (small and impl != "gather4")
-            else base
-        )
-        out = out + sample(v, loc, attn)
+        H, W = v.shape[1], v.shape[2]
+        small = H * W <= ONEHOT_MAX_PIXELS
+        use_onehot = small and impl != "gather4"
+        if project is not None and impl == "shift4h" and not use_onehot:
+            # late projection: raw corner table (CSE'd across layers),
+            # project folded corners, per-head shift4h gather
+            traw = build_corner_table(v.reshape(B, H, W, -1))
+            t = project(traw)  # (B, HpWp, 4, nheads*hd)
+            hd_l = t.shape[-1] // nheads
+            t = t.reshape(*t.shape[:-1], nheads, hd_l)
+            s = _sample_level_shift4h_table(t, (H, W), loc, attn)
+        else:
+            if project is not None:
+                v = project(v)
+                v = v.reshape(B, H, W, nheads, v.shape[-1] // nheads)
+            # rematerialize the one-hot path: its (B, S, nheads, H*W)
+            # weight matrix is cheap to recompute but multi-GB if saved
+            # for backward (at 320x800 train resolution ALL four levels
+            # fall under the threshold; saving them exhausted HBM and
+            # crashed the worker on the 12-cam train step — same failure
+            # mode as the DCN one-hot postmortem, CLAUDE.md 2026-08-17)
+            sample = (
+                jax.checkpoint(_sample_level_onehot)
+                if use_onehot
+                else base
+            )
+            s = sample(v, loc, attn)
+        out = s if out is None else out + s
     # sum over points
+    hd = out.shape[-1]
     out = out.reshape(B, Q, P, nheads, hd).sum(axis=2)
     return out.reshape(B, Q, nheads * hd)

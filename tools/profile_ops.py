@@ -115,15 +115,48 @@ def main():
 
     if len(args.b) == 2:
         b0, b1 = args.b
-        a0, a1 = aggs[b0], aggs[b1]
+        # fusion numbering differs between programs, so key on a
+        # batch-normalized SHAPE SIGNATURE: op kind + output type/shape
+        # with any leading dim equal to k*B (k in 1..24) rewritten to
+        # 'B*k'. Ops of the same signature then pair across batch sizes.
+        import re
+
+        def signature(name: str, b: int):
+            m = re.match(r"%([a-zA-Z_\-]+)[\.\d]* = ([a-z0-9]+)\[([\d,]*)\]", name)
+            if not m:
+                return name.split(" ")[0].rstrip("0123456789.")
+            kind, dt, dims = m.groups()
+            out = []
+            for i, d in enumerate(x for x in dims.split(",") if x):
+                d = int(d)
+                if i == 0 and d % b == 0 and d // b <= 32:
+                    out.append(f"B*{d // b}")
+                else:
+                    out.append(str(d))
+            return f"{kind} {dt}[{','.join(out)}]"
+
+        def by_sig(agg, b):
+            out = {}
+            for n, us in agg.items():
+                s = signature(n, b)
+                out[s] = out.get(s, 0.0) + us
+            return out
+
+        s0, s1 = by_sig(aggs[b0], b0), by_sig(aggs[b1], b1)
         ratio = b1 / b0
-        print(f"\n== top ops by (B={b1} - {ratio:.0f}*B={b0}) excess ms/step")
+        print(
+            f"\n== top signatures by (B={b1} - {ratio:.0f}*B={b0}) excess ms/step"
+        )
         rows = []
-        for n, us1 in a1.items():
-            us0 = a0.get(n, 0.0)
-            rows.append((us1 / 3e3 - ratio * us0 / 3e3, us1 / 3e3, us0 / 3e3, n))
+        for n, us1 in s1.items():
+            us0 = s0.get(n, 0.0)
+            rows.append(
+                (us1 / 3e3 - ratio * us0 / 3e3, us1 / 3e3, us0 / 3e3, n)
+            )
         for ex, t1, t0, n in sorted(rows, reverse=True)[: args.top]:
-            print(f"  +{ex:7.2f} ms  (B{b1} {t1:7.2f} vs B{b0} {t0:6.2f})  {n[:110]}")
+            print(
+                f"  +{ex:7.2f} ms  (B{b1} {t1:7.2f} vs B{b0} {t0:6.2f})  {n[:100]}"
+            )
 
 
 if __name__ == "__main__":

@@ -38,6 +38,13 @@ class BackboneConfig:
     # jax.checkpoint per stage (VoVNetCP / torch.utils.checkpoint parity;
     # needed to fit 12-cam no-detach training in one chip's HBM)
     remat: bool = False
+    # run the conv stack (backbone+neck) over the folded B*N camera axis
+    # in chunks of this many images. XLA's fusion/layout choices for the
+    # DCN gather-table pipeline degrade superlinearly past B*N=6 (round-3
+    # op trace: feats 66.8 ms at 6 but 163.1 at 12, 2.44x); each 6-image
+    # chunk already saturates the chip, so re-running the EXACT
+    # 6-image program per chunk restores linear scaling. None = off.
+    cam_chunk: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -191,6 +198,18 @@ class ModelConfig:
     img_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
     img_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
     img_bgr: bool = False  # model consumes BGR (reference to_rgb=False)
+    # normalize (x - img_mean) / img_std ON DEVICE (detector.extract_feats,
+    # fp32, before grid-mask — matching the reference's CPU-normalize ->
+    # GridMask order) instead of in the host pipeline. The pipeline then
+    # ships RAW uint8 pixels: 4x fewer host->device bytes than f32 (2x vs
+    # bf16) on the transfer-bound remote-TPU train path, and the sub/div
+    # moves onto the chip where it fuses into the first conv. Exact for
+    # uint8-preserving pipelines (eval, train w/o photometric); the
+    # photometric path ships float pixels (bf16 under cfg.bf16) and is
+    # equal up to bf16 rounding of the raw values. Requires /32 img_size
+    # (raw zero-padding is not normalized zero-padding; all shipped
+    # configs are /32).
+    device_normalize: bool = False
 
 
 def tiny_test_config() -> ModelConfig:

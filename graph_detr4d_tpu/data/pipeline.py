@@ -445,6 +445,12 @@ def build_batch(
     use_native: bool = False,
     aug=None,  # TrainConfig-like with .photometric/.ida_aug/.rot_aug
     img_norm: Optional[Tuple] = None,  # (mean, std, bgr) from ModelConfig
+    # ModelConfig.device_normalize: ship RAW pixels (uint8 when the
+    # pipeline preserves them; float after photometric) and let
+    # detector.extract_feats apply (x - mean)/std on device. The BGR
+    # channel reversal still happens HERE (a view, free); mean/std stay
+    # unused on host.
+    device_normalize: bool = False,
     # TTA: extra ida-resize multipliers; images become an
     # (A, B, N, H, W, 3) stack (copy 0 = base eval ida), decoded ONCE
     tta_resize_mults: Optional[Sequence[float]] = None,
@@ -462,6 +468,18 @@ def build_batch(
     )
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
+    if device_normalize:
+        # raw zero-padding is not normalized zero-padding: require /32
+        # network dims so pad_to_divisor is a no-op (true for every
+        # shipped config; same argument as the PETR padding mask)
+        assert final_hw[0] % 32 == 0 and final_hw[1] % 32 == 0, (
+            f"device_normalize requires /32 img_size, got {final_hw}"
+        )
+
+    def _host_norm(img):
+        if device_normalize:
+            return img[..., ::-1] if bgr else img
+        return normalize_image(img, mean, std, bgr)
     # aug switches default to the flagship 'rotcropaug' behavior; the
     # reference's aug/rotaug variants flip these per config
     use_photo = training and (aug is None or aug.photometric)
@@ -480,7 +498,10 @@ def build_batch(
     if use_native and not training:
         from ..native import available
 
-        use_native = available()
+        # the C++ loader fuses normalize into its resize output (f32);
+        # raw-uint8 shipping needs the python path until the loader
+        # grows a no-normalize uint8 output mode
+        use_native = available() and not device_normalize
     for s in samples:
         bboxes = s["gt_bboxes"]
         # multi-scale training: pick the per-sample random resize target
@@ -559,7 +580,7 @@ def build_batch(
                 if use_photo:
                     img = photometric_distortion(img, rng)
                 img_a, m = apply_ida(img, l2i, p)
-                img_a = normalize_image(img_a, mean, std, bgr)
+                img_a = _host_norm(img_a)
                 cams.append(pad_to_divisor(img_a))
                 mats.append(m)
             # extra TTA copies reuse the already-decoded images (no
@@ -571,7 +592,7 @@ def build_batch(
                 copy_cams, copy_mats = [], []
                 for img, l2i in zip(imgs_raw, l2is_raw):
                     img_m, m = apply_ida(img, l2i, pm)
-                    img_m = normalize_image(img_m, mean, std, bgr)
+                    img_m = _host_norm(img_m)
                     copy_cams.append(pad_to_divisor(img_m))
                     copy_mats.append(m)
                 extra_images[mi].append(np.stack(copy_cams))

@@ -55,7 +55,14 @@ def synthetic_batch(
     G = cfg.loss.max_gt
     num_gt = min(num_gt, G)
 
-    images = rng.randn(batch_size, N, H, W, 3).astype(np.float32) * 0.5
+    if cfg.device_normalize:
+        # raw-pixel shipping: the pipeline emits uint8 and the model
+        # normalizes on device (ModelConfig.device_normalize)
+        images = rng.randint(
+            0, 256, (batch_size, N, H, W, 3), dtype=np.int64
+        ).astype(np.uint8)
+    else:
+        images = rng.randn(batch_size, N, H, W, 3).astype(np.float32) * 0.5
     l2i = np.stack(
         [synthetic_camera_rig(N, (H, W), seed + b) for b in range(batch_size)]
     )

@@ -167,21 +167,38 @@ class Deform3DCrossAttn(nn.Module):
         attn = jax.nn.softmax(attn_logits.astype(jnp.float32), axis=-1)
         attn = attn.reshape(B, 1, Q, H_heads, L, P) * valid
 
-        # value projection per level. Passed as a callable into the MSDA
-        # op so large-level gather tables can be built from RAW features
-        # (layer-invariant -> XLA CSEs the 6 decoder layers' table builds
-        # into one) with the projection folded in after (ops/msda.py
-        # build_corner_table).
+        # value projection per level. GRD4D_MSDA_LATEPROJ=1 passes it as
+        # a callable into the MSDA op so large-level gather tables build
+        # from RAW features (layer-invariant -> XLA CSEs the 6 layers'
+        # builds into one, ops/msda.py build_corner_table). Measured
+        # 9.62 vs 9.88 fps at B=1 — the 4x-corner projection matmul +
+        # per-head transpose outweigh the churn it saves — so the default
+        # projects EARLY per layer; the flag remains for larger-batch
+        # experiments.
+        import os as _os
+
+        late_proj = _os.environ.get("GRD4D_MSDA_LATEPROJ") == "1"
         vproj = nn.Dense(
             C,
             kernel_init=nn.initializers.xavier_uniform(),
             dtype=self.dtype,
             name="value_proj",
         )
-        values = [
-            v.reshape(B * N, v.shape[2], v.shape[3], v.shape[-1])
-            for v in value_levels
-        ]
+        if late_proj:
+            values = [
+                v.reshape(B * N, v.shape[2], v.shape[3], v.shape[-1])
+                for v in value_levels
+            ]
+            msda_kw = dict(project=vproj, nheads=H_heads)
+        else:
+            hd = C // H_heads
+            values = [
+                vproj(v).reshape(
+                    B * N, v.shape[2], v.shape[3], H_heads, hd
+                )
+                for v in value_levels
+            ]
+            msda_kw = {}
 
         K = min(Q, int(math.ceil(Q * self.cam_capacity)))
         if K < Q:
@@ -216,8 +233,7 @@ class Deform3DCrossAttn(nn.Module):
                 values,
                 loc_flat,
                 attn_flat.astype(self.dtype),
-                project=vproj,
-                nheads=H_heads,
+                **msda_kw,
             ).reshape(B, N, K, C)
             sampled = jnp.einsum(
                 "bnkc,bnkq->bnqc",
@@ -233,8 +249,7 @@ class Deform3DCrossAttn(nn.Module):
                 values,
                 loc_flat,
                 attn_flat.astype(self.dtype),
-                project=vproj,
-                nheads=H_heads,
+                **msda_kw,
             )  # (B*N, Q, C)
             sampled = sampled.reshape(B, N, Q, C)
 

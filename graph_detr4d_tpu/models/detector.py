@@ -116,6 +116,15 @@ class GraphDETR4D(nn.Module):
     def extract_feats(self, images, train: bool, rng: Optional[jax.Array]):
         """images (B, N, H, W, 3) -> L x (B, N, h, w, C)."""
         B, N, H, W, _ = images.shape
+        if self.cfg.device_normalize:
+            # images arrive as RAW pixels (uint8, or float after
+            # photometric aug; already channel-reversed for BGR configs
+            # by the pipeline). Normalize in fp32 BEFORE grid-mask so a
+            # masked pixel is 0 in normalized space, exactly like the
+            # reference's CPU-normalize -> GridMask order.
+            mean = jnp.asarray(self.cfg.img_mean, jnp.float32)
+            std = jnp.asarray(self.cfg.img_std, jnp.float32)
+            images = (images.astype(jnp.float32) - mean) / std
         if train and self.cfg.train.use_grid_mask and rng is not None:
             images = grid_mask(rng, images, prob=self.cfg.train.grid_mask_prob)
         dtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
@@ -125,9 +134,30 @@ class GraphDETR4D(nn.Module):
         images = constrain(images, "data", "cam")
         x = images.reshape(B * N, H, W, 3).astype(dtype)
         x = constrain(x, ("data", "cam"))
-        feats = self.backbone(x)
-        if self.neck is not None:
-            feats = self.neck(feats)
+
+        def conv_stack(xc):
+            f = self.backbone(xc)
+            if self.neck is not None:
+                f = self.neck(f)
+            return f
+
+        chunk = self.cfg.backbone.cam_chunk
+        if chunk and B * N > chunk and (B * N) % chunk == 0:
+            # unrolled chunking over the folded camera axis: each chunk
+            # re-runs the conv stack at the well-tuned small shape (see
+            # BackboneConfig.cam_chunk); flax shares params across the
+            # calls. Incompatible with a 'cam'-sharded mesh (the chunk
+            # split would cross the shard boundary) — callers gate it.
+            groups = [
+                conv_stack(x[g : g + chunk])
+                for g in range(0, B * N, chunk)
+            ]
+            feats = [
+                jnp.concatenate([g[l] for g in groups], axis=0)
+                for l in range(len(groups[0]))
+            ]
+        else:
+            feats = conv_stack(x)
         return [
             constrain(
                 f.reshape(B, N, *f.shape[1:3], f.shape[-1]), "data", "cam"

@@ -385,3 +385,86 @@ def test_streaming_feats_forward_exact(model_and_vars):
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(want[k]), rtol=1e-4, atol=1e-4
         )
+
+
+def test_bf16_image_shipping_exact():
+    """Trainer/test CLIs ship images as bf16 when cfg.bf16 (halves
+    host->device bytes over the tunnel). Compute-exact claim: the model
+    casts its f32 input to bf16 as its first op, so feeding
+    bf16(images) must produce bitwise-identical outputs."""
+    import dataclasses
+
+    import ml_dtypes
+
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    cfg = dataclasses.replace(tiny_test_config(), bf16=True)
+    model = GraphDETR4D(cfg)
+    b = synthetic_batch(cfg, batch_size=1)
+    imgs32 = jnp.asarray(b["images"])  # f32 as the pipeline emits
+    imgs16 = jnp.asarray(b["images"].astype(ml_dtypes.bfloat16))
+    l2i = jnp.asarray(b["lidar2img"])
+    v = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, imgs32, l2i)
+    fwd = jax.jit(lambda v, im, l: model.apply(v, im, l))
+    out32 = fwd(v, imgs32, l2i)
+    out16 = fwd(v, imgs16, l2i)
+    for k in out32:
+        np.testing.assert_array_equal(
+            np.asarray(out32[k], np.float32), np.asarray(out16[k], np.float32)
+        )
+
+
+def test_cam_chunk_exact():
+    """BackboneConfig.cam_chunk re-runs the conv stack per camera chunk;
+    outputs must be exactly the unchunked ones (flax shares the params
+    across the chunk calls)."""
+    import dataclasses
+
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    cfg0 = tiny_test_config()
+    cfg1 = dataclasses.replace(
+        cfg0, backbone=dataclasses.replace(cfg0.backbone, cam_chunk=4)
+    )
+    m0, m1 = GraphDETR4D(cfg0), GraphDETR4D(cfg1)
+    b = synthetic_batch(cfg0, batch_size=2)
+    imgs = jnp.asarray(b["images"])
+    l2i = jnp.asarray(b["lidar2img"])
+    v = m0.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+    f0 = m0.apply(v, imgs, False, None, method=GraphDETR4D.extract_feats)
+    f1 = m1.apply(v, imgs, False, None, method=GraphDETR4D.extract_feats)
+    for a, c in zip(f0, f1):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(c, np.float32), atol=1e-5
+        )
+
+
+def test_device_normalize_model_exact():
+    """cfg.device_normalize: feeding RAW uint8 pixels to a model that
+    normalizes on device (fp32, before grid-mask) must equal feeding
+    host-normalized fp32 images to the plain model — bitwise, since both
+    run the identical (x - mean)/std in fp32 (CPU, bf16 off)."""
+    import dataclasses
+
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    cfg = tiny_test_config()
+    cfg_dn = dataclasses.replace(cfg, device_normalize=True)
+    b = synthetic_batch(cfg_dn, batch_size=1)
+    raw_u8 = b["images"]
+    assert raw_u8.dtype == np.uint8
+    mean = np.asarray(cfg.img_mean, np.float32)
+    std = np.asarray(cfg.img_std, np.float32)
+    host = (raw_u8.astype(np.float32) - mean) / std
+
+    m_plain, m_dn = GraphDETR4D(cfg), GraphDETR4D(cfg_dn)
+    l2i = jnp.asarray(b["lidar2img"])
+    v = m_plain.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(host), l2i
+    )
+    out_plain = m_plain.apply(v, jnp.asarray(host), l2i)
+    out_dn = m_dn.apply(v, jnp.asarray(raw_u8), l2i)
+    for k in out_plain:
+        np.testing.assert_array_equal(
+            np.asarray(out_plain[k]), np.asarray(out_dn[k])
+        )

@@ -711,3 +711,55 @@ def test_img_norm_bgr_config_driven(tmp_path):
     assert cfg2.img_bgr and cfg2.img_std == (57.375, 57.120, 58.395)
     cfg3 = get_config("detr4d_res50_deform_pe_testaug_2subset_12e")
     assert not cfg3.img_bgr
+
+
+def test_device_normalize_ships_uint8_and_matches(tmp_path):
+    """ModelConfig.device_normalize: build_batch ships RAW uint8 pixels
+    (eval path preserves uint8 end-to-end) and the device-side
+    (x - mean)/std in fp32 must reproduce the host-normalized images
+    EXACTLY (same raw pixels, same fp32 sub/div). BGR configs get the
+    channel reversal on host, so device math stays a plain sub/div."""
+    try:
+        import cv2
+    except ImportError:
+        import pytest
+
+        pytest.skip("cv2 needed to synthesize jpegs")
+    from graph_detr4d_tpu.data.pipeline import (
+        build_batch,
+        IMG_MEAN,
+        IMG_STD,
+    )
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(2):
+        img = (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"cam{i}.jpg")
+        cv2.imwrite(p, img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 100])
+        paths.append(p)
+    sample = {
+        "image_paths": paths,
+        "lidar2img": np.stack([np.eye(4, dtype=np.float32)] * 2),
+        "gt_bboxes": np.zeros((2, 9), np.float32),
+        "gt_labels": np.zeros((2,), np.int32),
+        "gt_valid": np.zeros((2,), np.float32),
+    }
+    kw = dict(final_hw=(32, 64), training=False, src_hw=(64, 128))
+
+    b_host = build_batch([sample], **kw)
+    b_raw = build_batch([sample], device_normalize=True, **kw)
+    assert b_raw["images"].dtype == np.uint8
+    dev = (b_raw["images"].astype(np.float32) - IMG_MEAN) / IMG_STD
+    np.testing.assert_array_equal(dev, b_host["images"])
+
+    # BGR: host reverses channels, mean/std apply in BGR order on device
+    mean = np.asarray((103.53, 116.28, 123.675), np.float32)
+    std = np.asarray((57.375, 57.12, 58.395), np.float32)
+    b_host = build_batch([sample], img_norm=(mean, std, True), **kw)
+    b_raw = build_batch(
+        [sample], img_norm=(mean, std, True), device_normalize=True, **kw
+    )
+    assert b_raw["images"].dtype == np.uint8
+    dev = (b_raw["images"].astype(np.float32) - mean) / std
+    np.testing.assert_array_equal(dev, b_host["images"])

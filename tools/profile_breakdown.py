@@ -47,9 +47,10 @@ def chained_time(fn, iters=15):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def build(H, W, N, use_dcn=True, cam_capacity=0.5, batch_size=1):
+def build(H, W, N, use_dcn=True, cam_capacity=0.5, batch_size=1,
+          cam_chunk=None):
     cfg = ModelConfig(
-        backbone=BackboneConfig(use_dcn=use_dcn),
+        backbone=BackboneConfig(use_dcn=use_dcn, cam_chunk=cam_chunk),
         head=HeadConfig(
             num_cams=N, with_detach=False, cam_capacity=cam_capacity
         ),
@@ -164,6 +165,13 @@ def main():
         measure("batch-4 msda 'pair'", batch_size=4)
     finally:
         _os.environ.pop("GRD4D_MSDA_IMPL", None)
+
+    # camera-chunked conv stack (BackboneConfig.cam_chunk): re-runs the
+    # well-tuned 6-image program per chunk to undo the B*N>6 fusion
+    # degradation
+    measure("chunk6 12-cam", N=12, cam_chunk=6)
+    measure("chunk6 batch-4", batch_size=4, cam_chunk=6)
+    measure("chunk6 batch-2", batch_size=2, cam_chunk=6)
 
 
 if __name__ == "__main__":

@@ -145,6 +145,18 @@ def main():
         batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None,
         ego_xys=None,
     ):
+        if cfg.bf16 and np.asarray(batch["images"]).dtype != np.uint8:
+            # compute-exact (the backbone casts to bf16 anyway) and
+            # halves host->device bytes over the tunnel; uint8
+            # (device_normalize raw pixels) already ships minimal
+            import ml_dtypes
+
+            batch = {
+                **batch,
+                "images": np.asarray(batch["images"]).astype(
+                    ml_dtypes.bfloat16
+                ),
+            }
         if mesh is not None:
             from graph_detr4d_tpu.parallel.mesh import shard_batch
 
@@ -306,6 +318,7 @@ def main():
                     training=False,
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                     tta_resize_mults=tta_mults,
+                    device_normalize=cfg.device_normalize,
                 )
                 yield i, s, b
 

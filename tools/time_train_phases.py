@@ -1,0 +1,129 @@
+"""Attribute train-iter wall-clock: host batch gen vs host->device
+transfer vs device step vs full-loop steady state.
+
+smoke500 logged 5.2-8.8 s/iter against a ~289 ms device step (CLAUDE.md);
+this tool isolates where the other ~95% goes on the real chip at the same
+12-cam 320x800 shape. Timing uses host fetches (block_until_ready returns
+early on this runtime).
+
+    python tools/time_train_phases.py [--h 320 --w 800 --n 12 --iters 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=320)
+    ap.add_argument("--w", type=int, default=800)
+    ap.add_argument("--n", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    from graph_detr4d_tpu.config import ModelConfig, BackboneConfig, HeadConfig
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+    from graph_detr4d_tpu.parallel import make_mesh, shard_batch, replicate
+    from graph_detr4d_tpu.parallel import build_train_step
+    from graph_detr4d_tpu.parallel.step import init_state
+
+    cfg = ModelConfig(
+        backbone=BackboneConfig(remat=True),
+        head=HeadConfig(num_cams=args.n, with_detach=False,
+                        cam_capacity=0.5),
+        img_size=(args.h, args.w),
+        bf16=True,
+    )
+    model = GraphDETR4D(cfg)
+    mesh = make_mesh()
+    state = replicate(init_state(model, cfg, jax.random.PRNGKey(0)), mesh)
+    step = build_train_step(model, cfg, mesh)
+    rng = jax.device_put(
+        jax.random.PRNGKey(1),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+
+    print(f"shape: {args.n}-cam {args.h}x{args.w}", flush=True)
+
+    # --- phase a: host synthetic gen
+    t0 = time.perf_counter()
+    batches = [synthetic_batch(cfg, 1, seed=s) for s in range(args.iters)]
+    t_gen = (time.perf_counter() - t0) / args.iters
+    mb = batches[0]["images"].nbytes / 1e6
+    print(f"host gen: {t_gen*1e3:8.0f} ms/iter ({mb:.1f} MB f32 images)",
+          flush=True)
+
+    # tiny consumer to force transfer completion without a fresh compile
+    @jax.jit
+    def consume(im):
+        return im.astype(jnp.float32).ravel()[0]
+
+    # --- phase b: host->device transfer, f32 vs bf16 images
+    for tag, cast in (("f32", None), ("bf16", ml_dtypes.bfloat16)):
+        b0 = dict(batches[0])
+        if cast is not None:
+            b0["images"] = b0["images"].astype(cast)
+        d = shard_batch(b0, mesh)
+        float(consume(d["images"]))  # compile + settle
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            bi = dict(batches[i % len(batches)])
+            if cast is not None:
+                bi["images"] = bi["images"].astype(cast)
+            d = shard_batch(bi, mesh)
+            float(consume(d["images"]))
+        t_put = (time.perf_counter() - t0) / args.iters
+        eff = (mb if cast is None else mb / 2) / t_put
+        print(f"h2d {tag}: {t_put*1e3:8.0f} ms/iter ({eff:.1f} MB/s)",
+              flush=True)
+
+    # --- phase c: device step alone (batch resident on device)
+    dbatch = shard_batch(batches[0], mesh)
+    state1, m = step(state, dbatch, rng)
+    float(m["loss"])  # compile
+    t0 = time.perf_counter()
+    s = state1
+    for _ in range(args.iters):
+        s, m = step(s, dbatch, rng)
+    float(m["loss"])
+    t_step = (time.perf_counter() - t0) / args.iters
+    print(f"device step: {t_step*1e3:6.0f} ms/iter", flush=True)
+
+    # --- phase d: full loop, f32 vs bf16 shipping, async like Trainer.fit
+    for tag, cast in (("f32", None), ("bf16", ml_dtypes.bfloat16)):
+        s = state1
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            bi = dict(batches[i % len(batches)])
+            if cast is not None:
+                bi["images"] = bi["images"].astype(cast)
+            d = shard_batch(bi, mesh)
+            s, m = step(s, d, rng)
+        float(m["loss"])
+        t_loop = (time.perf_counter() - t0) / args.iters
+        print(
+            f"full loop {tag}: {t_loop*1e3:6.0f} ms/iter "
+            f"({t_loop/t_step:.2f}x device step)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

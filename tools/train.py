@@ -189,6 +189,7 @@ def main():
                     rng=aug_rng,
                     aug=cfg.train,
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
+                    device_normalize=cfg.device_normalize,
                 )
 
     eval_fn = None
@@ -219,6 +220,7 @@ def main():
                     cfg.img_size,
                     training=False,
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
+                    device_normalize=cfg.device_normalize,
                 )
                 dev = {
                     "images": jnp.asarray(vb["images"]),

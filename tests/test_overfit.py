@@ -116,3 +116,64 @@ def test_overfit_two_samples():
     final = float(metrics["loss"])
     assert first / final >= 4.0, (first, final)
     assert best_worst < 2.0, best_worst
+
+
+def test_overfit_int8_dcn_path(monkeypatch):
+    """Training still FITS with the int8 DCN serving path active.
+
+    GRD4D_DCN_GATHER=int8 quantizes the stage-3/4 gather tables to int8
+    (forward noise <= amax/254 per element) with a straight-through
+    backward (exact vjp of the bf16 path, test_ops.py). This proves the
+    quantization noise doesn't break optimization at the model level:
+    ONEHOT_MAX_PIXELS=0 forces EVERY DCN block onto the int8 path and
+    150 steps must cut the set loss >= 2x. Complements the box-level
+    bound at flagship shape (tools/int8_box_bound.py, PROFILE.md)."""
+    from graph_detr4d_tpu.ops import deform_conv as dc
+
+    monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 0)
+    monkeypatch.setenv("GRD4D_DCN_GATHER", "int8")
+
+    cfg = ModelConfig(
+        backbone=BackboneConfig(depth=18, use_dcn=True),
+        neck=NeckConfig(in_channels=(64, 128, 256, 512), out_channels=32),
+        head=HeadConfig(
+            num_query=16,
+            embed_dims=32,
+            num_decoder_layers=2,
+            num_heads=4,
+            num_points=2,
+            num_levels=4,
+            num_cams=3,
+            ffn_dims=64,
+            depth_num=4,
+            pe_num_feats=16,
+            num_frame_cams=3,
+        ),
+        coder=CoderConfig(max_num=8),
+        loss=LossConfig(max_gt=4),
+        train=TrainConfig(
+            lr=1.5e-3,
+            warmup_iters=20,
+            total_steps=150,
+            use_grid_mask=False,
+            weight_decay=0.0,
+        ),
+        img_size=(32, 64),
+        bf16=False,
+    )
+    model = GraphDETR4D(cfg)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(model, cfg)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(cfg, batch_size=2, num_gt=3).items()
+    }
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(150):
+        state, metrics = step_fn(state, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    final = float(metrics["loss"])
+    assert np.isfinite(final)
+    assert first / final >= 2.0, (first, final)

@@ -84,7 +84,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
     import numpy as np
-    from graph_detr4d_tpu.config import ModelConfig, HeadConfig
+    from graph_detr4d_tpu.config import ModelConfig, BackboneConfig, HeadConfig
     from graph_detr4d_tpu.models import GraphDETR4D
     from graph_detr4d_tpu.core.coder import decode_batch
     from graph_detr4d_tpu.data.synthetic import synthetic_batch
@@ -93,6 +93,11 @@ def main():
 
     def build(num_cams, batch_size=1):
         cfg = ModelConfig(
+            # cam_chunk=6: run the conv stack in 6-image chunks over the
+            # folded B*N axis (bitwise-exact; XLA fusion degrades
+            # superlinearly past 6 — round-3 ablation, PROFILE.md). No-op
+            # for the B=1 6-cam build; fixes 12-cam and batch-4 scaling.
+            backbone=BackboneConfig(cam_chunk=6),
             head=HeadConfig(
                 num_cams=num_cams, with_detach=False, cam_capacity=0.5
             ),

@@ -64,10 +64,17 @@ def apply_overrides(cfg, overrides: Sequence[str]):
         if "=" not in ov:
             raise ValueError(f"override {ov!r} must be key=value")
         path, raw = ov.split("=", 1)
-        try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            value = raw  # bare string
+        if raw.strip().lower() in ("true", "false"):
+            # accept mmcv-style lowercase bools: 'backbone.remat=true'
+            # must set the bool, not the (truthy) string "true"
+            value = raw.strip().lower() == "true"
+        elif raw.strip().lower() in ("none", "null"):
+            value = None
+        else:
+            try:
+                value = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                value = raw  # bare string
         keys = path.strip().split(".")
         cfg = _replace_path(cfg, keys, value)
     return cfg

@@ -50,12 +50,16 @@ class MetricLogger:
 
 
 class PrefetchIterator:
-    """Host-side input prefetch: a daemon thread runs the (numpy) batch
-    pipeline `depth` batches ahead so JPEG decode + augmentation overlap
-    the device step — the TPU analog of the reference's
-    workers_per_gpu=4 DataLoader processes (SURVEY §3.1). The underlying
-    iterator runs entirely in the worker thread; numpy/cv2 release the
-    GIL in the hot paths (and the C++ native loader never takes it)."""
+    """Input prefetch: a daemon thread runs the (numpy) batch pipeline
+    AND the host->device transfer `depth` batches ahead, so JPEG decode +
+    augmentation + h2d DMA all overlap the device step — the TPU analog
+    of the reference's workers_per_gpu=4 DataLoader processes (SURVEY
+    §3.1) plus pinned-memory async copy. The underlying iterator runs
+    entirely in the worker thread; numpy/cv2 release the GIL in the hot
+    paths (and the C++ native loader never takes it), and jax.device_put
+    is thread-safe. Transfer-ahead matters most on remote-attached TPUs:
+    the tunnel moves ~35 MB/s, so a 12-cam f32 batch costs ~1 s serial
+    (time_train_phases.py) — overlapped, iter_time = max(h2d, step)."""
 
     _DONE = object()
 
@@ -107,10 +111,14 @@ class Trainer:
         self.model = model
         self.cfg = cfg
         self.work_dir = work_dir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        # the prefetch thread ships batches all the way to the device
+        # (cast + shard_batch), so h2d transfer overlaps the device step
+        dev_iter = (self._to_device(b) for b in batch_iter)
         self.batch_iter = (
-            PrefetchIterator(batch_iter, depth=prefetch)
+            PrefetchIterator(dev_iter, depth=prefetch)
             if prefetch > 0
-            else batch_iter
+            else dev_iter
         )
         self.eval_fn = eval_fn
         self.log_interval = log_interval
@@ -122,7 +130,6 @@ class Trainer:
         self._steps_seen = 0
         self._profile_start = 0
 
-        self.mesh = mesh if mesh is not None else make_mesh()
         self.state = replicate(
             init_state(model, cfg, jax.random.PRNGKey(seed)), self.mesh
         )
@@ -142,6 +149,23 @@ class Trainer:
         self.logger = MetricLogger(
             work_dir, use_tensorboard=self.is_main
         )
+
+    def _to_device(self, batch):
+        """Cast + place one host batch on the mesh. Runs on the prefetch
+        thread so the (tunnel-slow) h2d transfer overlaps compute."""
+        if (
+            self.cfg.bf16
+            and batch["images"].dtype not in (_BF16, np.uint8)
+        ):
+            # ship images bf16: the backbone casts its input to bf16
+            # anyway (detector.extract_feats; grid-mask is a 0/1
+            # multiply), so this is compute-exact and HALVES the
+            # host->device bytes — the train iter is transfer-bound on
+            # remote-attached TPUs (smoke500: 5-8 s/iter vs a 289 ms
+            # device step). uint8 (device_normalize raw pixels) already
+            # ships at the minimum width — keep it.
+            batch = {**batch, "images": batch["images"].astype(_BF16)}
+        return shard_batch(batch, self.mesh)
 
     def _stop_profile(self, metrics):
         # force completion through a host value fetch — block_until_ready
@@ -177,19 +201,6 @@ class Trainer:
                     )
                     self._profiling = True
                     self._profile_start = self._steps_seen
-            if (
-                self.cfg.bf16
-                and batch["images"].dtype not in (_BF16, np.uint8)
-            ):
-                # ship images bf16: the backbone casts its input to bf16
-                # anyway (detector.extract_feats; grid-mask is a 0/1
-                # multiply), so this is compute-exact and HALVES the
-                # host->device bytes — the train iter is transfer-bound
-                # on remote-attached TPUs (smoke500: 5-8 s/iter vs a
-                # 289 ms device step). uint8 (device_normalize raw
-                # pixels) already ships at the minimum width — keep it.
-                batch = {**batch, "images": batch["images"].astype(_BF16)}
-            batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(
                 self.state, batch, self.rng
             )

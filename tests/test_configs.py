@@ -45,6 +45,28 @@ def test_overrides():
         get_config("not_a_config")
 
 
+def test_overrides_mmcv_style_literals():
+    # lowercase bools / none (mmcv-style) must set the typed value, not
+    # the (truthy) string — 'backbone.remat=true' was silently a string
+    cfg = get_config(
+        "detr4d_res50_deform_pe_testaug_2subset_12e",
+        overrides=[
+            "backbone.remat=true",
+            "bf16=false",
+            "backbone.cam_chunk=none",
+        ],
+    )
+    assert cfg.backbone.remat is True
+    assert cfg.bf16 is False
+    assert cfg.backbone.cam_chunk is None
+    # uppercase Python literals keep working
+    cfg2 = apply_overrides(cfg, ["bf16=True", "backbone.cam_chunk=None"])
+    assert cfg2.bf16 is True and cfg2.backbone.cam_chunk is None
+    # plain strings still pass through
+    cfg3 = apply_overrides(cfg, ["backbone_type=vovnet"])
+    assert cfg3.backbone_type == "vovnet"
+
+
 def _shrink(cfg):
     """Make any named config CPU-test sized."""
     head = dataclasses.replace(

@@ -157,6 +157,39 @@ def test_petr_seg_train_step_with_maps():
     assert float(metrics["loss_mask"]) > 0
 
 
+def test_trainer_fit_transfer_ahead(tmp_path):
+    # Trainer ships batches to the device on the prefetch thread
+    # (trainer._to_device inside PrefetchIterator) — lock that the loop
+    # trains, logs, and checkpoints through that path
+    from graph_detr4d_tpu.train.trainer import Trainer
+
+    model = GraphDETR4D(CFG)
+    mesh = make_mesh(jax.devices()[:2])
+
+    def batches():
+        for s in range(5):
+            yield synthetic_batch(CFG, batch_size=2, num_gt=4, seed=s)
+
+    tr = Trainer(
+        model,
+        CFG,
+        str(tmp_path / "wd"),
+        batches(),
+        mesh=mesh,
+        log_interval=2,
+        prefetch=2,
+    )
+    tr.fit(total_steps=4, ckpt_every=100)
+    assert int(tr.state.step) == 4
+    import json as _json
+
+    with open(tmp_path / "wd" / "train_log.jsonl") as f:
+        recs = [_json.loads(l) for l in f]
+    assert recs and all(np.isfinite(r["loss"]) for r in recs)
+    assert all(r["iter_time"] > 0 for r in recs)
+    assert tr.ckpt.latest_step() == 4  # final save
+
+
 def test_prefetch_iterator_order_and_errors():
     """Prefetch preserves order, terminates, and re-raises pipeline
     exceptions on the consumer side."""

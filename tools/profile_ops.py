@@ -30,7 +30,11 @@ import jax.numpy as jnp
 def trace_forward(batch_size: int, out_dir: str, H=640, W=1600, N=6):
     from tools.profile_breakdown import build
 
-    cfg, model, variables, imgs, l2i = build(H, W, N, batch_size=batch_size)
+    # cam_chunk=6 matches the serving default (bench.py) so the trace
+    # diff attributes what remains AFTER the conv-stack chunk fix
+    cfg, model, variables, imgs, l2i = build(
+        H, W, N, batch_size=batch_size, cam_chunk=6
+    )
 
     @jax.jit
     def full_fn(v, i, l, carry):

@@ -96,6 +96,16 @@ def main():
         cfg = get_config(args.config, overrides=args.cfg_options)
     else:
         cfg = ModelConfig(img_size=(args.img_h, args.img_w))
+    if args.cam_parallel == 1 and cfg.backbone.cam_chunk is None:
+        # single-device serving: chunk the conv stack at the measured
+        # 6-image sweet spot (bitwise-exact; detector skips it unless
+        # B*N > 6 and divisible). Not applied on a cam-sharded mesh —
+        # the chunk slices would cross shard boundaries.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, cam_chunk=6)
+        )
     model = GraphDETR4D(cfg)
     state = init_state(model, cfg, jax.random.PRNGKey(0))
     if args.checkpoint:

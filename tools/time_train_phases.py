@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("GRD4D_PLATFORM"):
+    # CPU escape for smoke tests (the axon sitecustomize force-selects
+    # TPU programmatically; the env var alone is not enough — CLAUDE.md)
+    jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
@@ -35,6 +40,12 @@ def main():
     ap.add_argument("--w", type=int, default=800)
     ap.add_argument("--n", type=int, default=12)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--dn",
+        action="store_true",
+        help="device_normalize: ship RAW uint8 pixels, normalize on "
+        "device (1/4 the h2d bytes of f32)",
+    )
     args = ap.parse_args()
 
     from graph_detr4d_tpu.config import ModelConfig, BackboneConfig, HeadConfig
@@ -50,6 +61,7 @@ def main():
                         cam_capacity=0.5),
         img_size=(args.h, args.w),
         bf16=True,
+        device_normalize=args.dn,
     )
     model = GraphDETR4D(cfg)
     mesh = make_mesh()
@@ -67,16 +79,26 @@ def main():
     batches = [synthetic_batch(cfg, 1, seed=s) for s in range(args.iters)]
     t_gen = (time.perf_counter() - t0) / args.iters
     mb = batches[0]["images"].nbytes / 1e6
-    print(f"host gen: {t_gen*1e3:8.0f} ms/iter ({mb:.1f} MB f32 images)",
-          flush=True)
+    img_dtype = batches[0]["images"].dtype
+    print(
+        f"host gen: {t_gen*1e3:8.0f} ms/iter "
+        f"({mb:.1f} MB {img_dtype} images)",
+        flush=True,
+    )
 
     # tiny consumer to force transfer completion without a fresh compile
     @jax.jit
     def consume(im):
         return im.astype(jnp.float32).ravel()[0]
 
-    # --- phase b: host->device transfer, f32 vs bf16 images
-    for tag, cast in (("f32", None), ("bf16", ml_dtypes.bfloat16)):
+    # --- phase b: host->device transfer, f32 vs bf16 images (uint8 is
+    # what --dn ships natively — its row is the `native` one below)
+    casts = (
+        [("u8", None)]
+        if args.dn
+        else [("f32", None), ("bf16", ml_dtypes.bfloat16)]
+    )
+    for tag, cast in casts:
         b0 = dict(batches[0])
         if cast is not None:
             b0["images"] = b0["images"].astype(cast)
@@ -95,20 +117,20 @@ def main():
               flush=True)
 
     # --- phase c: device step alone (batch resident on device)
+    # NOTE: the train step DONATES its state argument, so a state handle
+    # is dead after its first use — phases thread one live `s` through
     dbatch = shard_batch(batches[0], mesh)
-    state1, m = step(state, dbatch, rng)
+    s, m = step(state, dbatch, rng)
     float(m["loss"])  # compile
     t0 = time.perf_counter()
-    s = state1
     for _ in range(args.iters):
         s, m = step(s, dbatch, rng)
     float(m["loss"])
     t_step = (time.perf_counter() - t0) / args.iters
     print(f"device step: {t_step*1e3:6.0f} ms/iter", flush=True)
 
-    # --- phase d: full loop, f32 vs bf16 shipping, async like Trainer.fit
-    for tag, cast in (("f32", None), ("bf16", ml_dtypes.bfloat16)):
-        s = state1
+    # --- phase d: full SERIAL loop (transfer then step, no overlap)
+    for tag, cast in casts:
         t0 = time.perf_counter()
         for i in range(args.iters):
             bi = dict(batches[i % len(batches)])
@@ -119,7 +141,33 @@ def main():
         float(m["loss"])
         t_loop = (time.perf_counter() - t0) / args.iters
         print(
-            f"full loop {tag}: {t_loop*1e3:6.0f} ms/iter "
+            f"serial loop {tag}: {t_loop*1e3:6.0f} ms/iter "
+            f"({t_loop/t_step:.2f}x device step)",
+            flush=True,
+        )
+
+    # --- phase e: OVERLAPPED loop — the Trainer's transfer-ahead
+    # prefetch (PrefetchIterator ships cast+shard on a worker thread);
+    # steady state should be max(h2d, step), not their sum
+    from graph_detr4d_tpu.train.trainer import PrefetchIterator
+
+    for tag, cast in casts:
+
+        def dev_batches():
+            for i in range(args.iters):
+                bi = dict(batches[i % len(batches)])
+                if cast is not None:
+                    bi["images"] = bi["images"].astype(cast)
+                yield shard_batch(bi, mesh)
+
+        it = PrefetchIterator(dev_batches(), depth=2)
+        t0 = time.perf_counter()
+        for d in it:
+            s, m = step(s, d, rng)
+        float(m["loss"])
+        t_loop = (time.perf_counter() - t0) / args.iters
+        print(
+            f"overlap loop {tag}: {t_loop*1e3:6.0f} ms/iter "
             f"({t_loop/t_step:.2f}x device step)",
             flush=True,
         )

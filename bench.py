@@ -99,7 +99,12 @@ def main():
             # for the B=1 6-cam build; fixes 12-cam and batch-4 scaling.
             backbone=BackboneConfig(cam_chunk=6),
             head=HeadConfig(
-                num_cams=num_cams, with_detach=False, cam_capacity=0.5
+                num_cams=num_cams, with_detach=False, cam_capacity=0.5,
+                # batch_chunk=1: re-run the B=1 head program per sample
+                # (exact; XLA scheduling degrades the B=4 head ~20%
+                # per frame — round-3 ablation, PROFILE.md). No-op at
+                # batch 1.
+                batch_chunk=1,
             ),
             img_size=(H, W),
             bf16=True,

@@ -115,6 +115,14 @@ class HeadConfig:
     # the positional-MLP input (:331-334, Linear(4) at :105)
     fix_offset: bool = False
     depth_encode: bool = False
+    # run the (inference) head per batch slice of this size, unrolled —
+    # the batch analog of BackboneConfig.cam_chunk. Exact: no head op
+    # crosses the batch axis (float noise from per-shape scheduling
+    # only). Round-3 on-chip ablation: the B=4
+    # head costs 170.8 ms vs 4x the B=1 program's 35.7 (XLA scheduling
+    # degrades at larger live sets; cost analysis is exactly linear), so
+    # re-running the B=1 program per sample is faster. None = off.
+    batch_chunk: Optional[int] = None
     # PETR/PETRv2/PETR-seg head options. Class defaults in the reference
     # are LID=False / (-65, -65, -8, 65, 65, 8) (petr_head.py:107, 177)
     # but EVERY shipped petr config overrides them to LID=True and

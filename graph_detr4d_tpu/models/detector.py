@@ -224,6 +224,43 @@ class GraphDETR4D(nn.Module):
         (up to conv-scheduling float noise across batch sizes). The reference has no equivalent (its
         forward is monolithic, detr3d.py:62-66 recomputes all 12 every
         call)."""
+        chunk = self.cfg.head.batch_chunk
+        B = feats[0].shape[0]
+        if (not train) and chunk and B > chunk and B % chunk == 0:
+            # batch-chunked head (HeadConfig.batch_chunk): re-run the
+            # small-batch head program per slice, unrolled; exact up to
+            # per-shape scheduling float noise — no head op crosses the
+            # batch axis. Every head family stacks outputs
+            # (layers, B, ...), so slices concat on axis 1.
+            outs = []
+            for g in range(0, B, chunk):
+
+                def sl(a):
+                    return None if a is None else a[g : g + chunk]
+
+                outs.append(
+                    self._head_call(
+                        [f[g : g + chunk] for f in feats],
+                        sl(lidar2img),
+                        train,
+                        sl(depth_factors),
+                        sl(mean_time_stamp),
+                        sl(intrinsics),
+                        sl(ida_scale),
+                    )
+                )
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *outs
+            )
+        return self._head_call(
+            feats, lidar2img, train, depth_factors, mean_time_stamp,
+            intrinsics, ida_scale,
+        )
+
+    def _head_call(
+        self, feats, lidar2img, train, depth_factors, mean_time_stamp,
+        intrinsics, ida_scale,
+    ):
         if self.cfg.head_type in ("petr", "petrv2", "petr_seg"):
             return self.head(
                 feats,

@@ -439,6 +439,37 @@ def test_cam_chunk_exact():
         )
 
 
+def test_head_batch_chunk_exact():
+    """HeadConfig.batch_chunk re-runs the inference head per batch
+    slice; outputs must exactly equal the unchunked ones (no head op
+    crosses the batch axis; flax shares params across the calls)."""
+    import dataclasses
+
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+
+    cfg0 = tiny_test_config()
+    cfg1 = dataclasses.replace(
+        cfg0, head=dataclasses.replace(cfg0.head, batch_chunk=1)
+    )
+    m0, m1 = GraphDETR4D(cfg0), GraphDETR4D(cfg1)
+    b = synthetic_batch(cfg0, batch_size=2)
+    imgs = jnp.asarray(b["images"])
+    l2i = jnp.asarray(b["lidar2img"])
+    v = m0.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+    o0 = m0.apply(v, imgs, l2i)
+    o1 = m1.apply(v, imgs, l2i)
+    assert set(o0) == set(o1)
+    for k in o0:
+        # float-noise only: per-shape scheduling reorders reductions
+        # (box coords are ~30 m, so compare relative, not absolute)
+        np.testing.assert_allclose(
+            np.asarray(o0[k], np.float32),
+            np.asarray(o1[k], np.float32),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
+
 def test_device_normalize_model_exact():
     """cfg.device_normalize: feeding RAW uint8 pixels to a model that
     normalizes on device (fp32, before grid-mask) must equal feeding

@@ -195,6 +195,20 @@ def main():
         cfg_name = args.config
         cfg = get_config(cfg_name, args.cfg_options)
 
+    # single-device serving defaults (measured on chip, PROFILE.md):
+    # chunk the conv stack at 6 folded images and the head at batch 1 —
+    # exact, and linear-scaling where the monolithic programs degrade
+    import dataclasses
+
+    if cfg.backbone.cam_chunk is None:
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, cam_chunk=6)
+        )
+    if cfg.head.batch_chunk is None and args.batch_size > 1:
+        cfg = dataclasses.replace(
+            cfg, head=dataclasses.replace(cfg.head, batch_chunk=1)
+        )
+
     model = GraphDETR4D(cfg)
     batch = synthetic_batch(cfg, batch_size=args.batch_size)
     imgs = jnp.asarray(batch["images"])

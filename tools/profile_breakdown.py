@@ -48,11 +48,12 @@ def chained_time(fn, iters=15):
 
 
 def build(H, W, N, use_dcn=True, cam_capacity=0.5, batch_size=1,
-          cam_chunk=None):
+          cam_chunk=None, batch_chunk=None):
     cfg = ModelConfig(
         backbone=BackboneConfig(use_dcn=use_dcn, cam_chunk=cam_chunk),
         head=HeadConfig(
-            num_cams=N, with_detach=False, cam_capacity=cam_capacity
+            num_cams=N, with_detach=False, cam_capacity=cam_capacity,
+            batch_chunk=batch_chunk,
         ),
         img_size=(H, W),
         bf16=True,
@@ -172,6 +173,12 @@ def main():
     measure("chunk6 12-cam", N=12, cam_chunk=6)
     measure("chunk6 batch-4", batch_size=4, cam_chunk=6)
     measure("chunk6 batch-2", batch_size=2, cam_chunk=6)
+
+    # batch-chunked head (HeadConfig.batch_chunk): re-runs the B=1 head
+    # program per sample to undo the residual B>1 head degradation
+    # (XLA cost analysis is exactly linear; the slowdown is scheduling)
+    measure("bchunk1 batch-4", batch_size=4, cam_chunk=6, batch_chunk=1)
+    measure("bchunk1 batch-2", batch_size=2, cam_chunk=6, batch_chunk=1)
 
 
 if __name__ == "__main__":

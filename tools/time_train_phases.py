@@ -131,6 +131,14 @@ def main():
 
     # --- phase d: full SERIAL loop (transfer then step, no overlap)
     for tag, cast in casts:
+        # warm this input dtype's step compile OUT of the timed region
+        # (a bf16-image step is a fresh program; without this the first
+        # serial row absorbs a multi-minute XLA compile)
+        bw = dict(batches[0])
+        if cast is not None:
+            bw["images"] = bw["images"].astype(cast)
+        s, m = step(s, shard_batch(bw, mesh), rng)
+        float(m["loss"])
         t0 = time.perf_counter()
         for i in range(args.iters):
             bi = dict(batches[i % len(batches)])

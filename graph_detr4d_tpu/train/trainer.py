@@ -11,6 +11,7 @@ import time
 from typing import Callable, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 
@@ -50,16 +51,17 @@ class MetricLogger:
 
 
 class PrefetchIterator:
-    """Input prefetch: a daemon thread runs the (numpy) batch pipeline
-    AND the host->device transfer `depth` batches ahead, so JPEG decode +
-    augmentation + h2d DMA all overlap the device step — the TPU analog
-    of the reference's workers_per_gpu=4 DataLoader processes (SURVEY
-    §3.1) plus pinned-memory async copy. The underlying iterator runs
-    entirely in the worker thread; numpy/cv2 release the GIL in the hot
-    paths (and the C++ native loader never takes it), and jax.device_put
-    is thread-safe. Transfer-ahead matters most on remote-attached TPUs:
-    the tunnel moves ~35 MB/s, so a 12-cam f32 batch costs ~1 s serial
-    (time_train_phases.py) — overlapped, iter_time = max(h2d, step)."""
+    """Input prefetch: a daemon thread runs the wrapped iterator `depth`
+    items ahead. The Trainer stacks two of these — stage 1 the (numpy)
+    host batch pipeline, stage 2 cast + shard_batch (the h2d DMA) — so
+    JPEG decode + augmentation + transfer all overlap the device step:
+    the TPU analog of the reference's workers_per_gpu=4 DataLoader
+    processes (SURVEY §3.1) plus pinned-memory async copy. numpy/cv2
+    release the GIL in the hot paths (the C++ native loader never takes
+    it), and jax.device_put is thread-safe. Transfer-ahead matters most
+    on remote-attached TPUs: the tunnel moves ~36 MB/s, so a 12-cam f32
+    batch costs ~1 s serial (time_train_phases.py) — staged, iter_time
+    = max(host gen, h2d, step)."""
 
     _DONE = object()
 
@@ -112,14 +114,19 @@ class Trainer:
         self.cfg = cfg
         self.work_dir = work_dir
         self.mesh = mesh if mesh is not None else make_mesh()
-        # the prefetch thread ships batches all the way to the device
-        # (cast + shard_batch), so h2d transfer overlaps the device step
-        dev_iter = (self._to_device(b) for b in batch_iter)
-        self.batch_iter = (
-            PrefetchIterator(dev_iter, depth=prefetch)
-            if prefetch > 0
-            else dev_iter
-        )
+        # two-stage prefetch: thread 1 runs the host batch pipeline
+        # (decode/aug/collate), thread 2 runs cast + shard_batch (the
+        # h2d DMA). Steady-state iter time = max(host gen, h2d, device
+        # step) rather than their sum — the TPU analog of the
+        # reference's workers_per_gpu=4 loader processes + pinned-memory
+        # async copy (SURVEY §3.1).
+        if prefetch > 0:
+            host_iter = PrefetchIterator(batch_iter, depth=prefetch)
+            self.batch_iter = PrefetchIterator(
+                (self._to_device(b) for b in host_iter), depth=prefetch
+            )
+        else:
+            self.batch_iter = (self._to_device(b) for b in batch_iter)
         self.eval_fn = eval_fn
         self.log_interval = log_interval
         # jax.profiler trace of `profile_steps` post-compile steps into
@@ -181,9 +188,25 @@ class Trainer:
             self.state = replicate(restored, self.mesh)
         return int(self.state.step)
 
+    @staticmethod
+    @jax.jit
+    def _macc(msum, metrics):
+        # one fused dispatch per iter: running metric sums stay ON
+        # DEVICE between log intervals. Fetching each window's raw
+        # per-step scalars costs log_interval * n_metrics individual
+        # d2h round trips (~1000/window), which on the tunnel-attached
+        # runtime measured ~300 ms/iter amortized — half the iter time.
+        return jax.tree.map(jnp.add, msum, metrics)
+
+    @staticmethod
+    @jax.jit
+    def _mpack(msum):
+        # ONE d2h array per window instead of n_metrics fetches
+        return jnp.stack([msum[k] for k in sorted(msum)])
+
     def fit(self, total_steps: int, ckpt_every: int = 1000):
         t0 = time.time()
-        window = []
+        msum, mcount = None, 0
         # one device->host sync up front; after that a host counter
         # tracks state.step exactly (train_step increments by 1), so the
         # loop never blocks on the previous step's output just to read
@@ -212,16 +235,18 @@ class Trainer:
                 >= self._profile_start + self.profile_steps
             ):
                 self._stop_profile(metrics)
-            window.append(metrics)
+            msum = metrics if msum is None else self._macc(msum, metrics)
+            mcount += 1
             if step % self.log_interval == 0:
+                packed = np.asarray(self._mpack(msum), np.float64)
                 avg = {
-                    k: float(np.mean([float(m[k]) for m in window]))
-                    for k in window[-1]
+                    k: packed[i] / mcount
+                    for i, k in enumerate(sorted(msum))
                 }
-                avg["iter_time"] = (time.time() - t0) / len(window)
+                avg["iter_time"] = (time.time() - t0) / mcount
                 if self.is_main:
                     self.logger.log(step, avg)
-                window, t0 = [], time.time()
+                msum, mcount, t0 = None, 0, time.time()
             if step % ckpt_every == 0:
                 # orbax saves are COLLECTIVE in multi-process runs — every
                 # rank must call save (orbax writes from the primary host)

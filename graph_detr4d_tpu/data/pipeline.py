@@ -21,6 +21,7 @@ with caffe-style means (to_rgb=False) — pass `img_norm=(mean, std, bgr)`
 from ModelConfig (img_mean/img_std/img_bgr) into build_batch.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -76,6 +77,37 @@ def load_image(path: str, file_client=None) -> np.ndarray:
         from PIL import Image
 
         return np.asarray(Image.open(path).convert("RGB"))
+
+
+_DECODE_POOL = None
+
+
+def _decode_pool():
+    """Shared JPEG-decode thread pool for the python batch path —
+    cv2.imdecode/imread release the GIL, so threads give real decode
+    parallelism. The reference gets this from workers_per_gpu=4
+    DataLoader processes (SURVEY §3.1); here one pool decodes the 12
+    camera views of a sample concurrently, deterministically (map keeps
+    order; load_image consumes no rng). GRD4D_DECODE_THREADS=0 disables
+    (sequential)."""
+    global _DECODE_POOL
+    n = int(os.environ.get("GRD4D_DECODE_THREADS", "8"))
+    if n <= 1:
+        return None
+    if _DECODE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _DECODE_POOL = ThreadPoolExecutor(
+            max_workers=n, thread_name_prefix="grd4d-decode"
+        )
+    return _DECODE_POOL
+
+
+def load_images_threaded(paths, file_client=None):
+    pool = _decode_pool()
+    if pool is None:
+        return [load_image(p, file_client) for p in paths]
+    return list(pool.map(lambda p: load_image(p, file_client), paths))
 
 
 @dataclass
@@ -570,7 +602,7 @@ def build_batch(
             # (RandomResizeImageMultiViewImage + ScaleAnnotations3D);
             # ida then brings every view to the static network size
             cams, mats = [], []
-            imgs_raw = [load_image(path) for path in s["image_paths"]]
+            imgs_raw = load_images_threaded(s["image_paths"])
             l2is_raw = list(s["lidar2img"])
             if ms_target is not None:
                 imgs_raw, l2is_raw, bboxes, _ = random_resize_depth_scaled(

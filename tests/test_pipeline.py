@@ -713,6 +713,54 @@ def test_img_norm_bgr_config_driven(tmp_path):
     assert not cfg3.img_bgr
 
 
+def test_threaded_decode_matches_sequential(tmp_path):
+    """The JPEG-decode thread pool (pipeline.load_images_threaded) must
+    produce batches IDENTICAL to the sequential path — decode consumes
+    no rng and map preserves order, so the full training build_batch
+    (photometric + ida aug, which DO consume rng sequentially) must be
+    bitwise reproducible across the two modes."""
+    import os
+
+    try:
+        import cv2
+    except ImportError:
+        import pytest
+
+        pytest.skip("cv2 needed to synthesize jpegs")
+    from graph_detr4d_tpu.data.pipeline import build_batch
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(6):
+        img = (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"cam{i}.jpg")
+        cv2.imwrite(p, img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(p)
+    sample = {
+        "image_paths": paths,
+        "lidar2img": np.stack([np.eye(4, dtype=np.float32)] * 6),
+        "gt_bboxes": np.zeros((2, 9), np.float32),
+        "gt_labels": np.zeros((2,), np.int32),
+        "gt_valid": np.zeros((2,), np.float32),
+    }
+    kw = dict(final_hw=(32, 64), training=True, src_hw=(64, 128))
+    old = os.environ.get("GRD4D_DECODE_THREADS")
+    try:
+        os.environ["GRD4D_DECODE_THREADS"] = "0"
+        b_seq = build_batch([sample], rng=np.random.RandomState(7), **kw)
+        os.environ["GRD4D_DECODE_THREADS"] = "4"
+        b_par = build_batch([sample], rng=np.random.RandomState(7), **kw)
+    finally:
+        if old is None:
+            os.environ.pop("GRD4D_DECODE_THREADS", None)
+        else:
+            os.environ["GRD4D_DECODE_THREADS"] = old
+    for k in b_seq:
+        np.testing.assert_array_equal(
+            np.asarray(b_seq[k]), np.asarray(b_par[k]), err_msg=k
+        )
+
+
 def test_device_normalize_ships_uint8_and_matches(tmp_path):
     """ModelConfig.device_normalize: build_batch ships RAW uint8 pixels
     (eval path preserves uint8 end-to-end) and the device-side

@@ -66,7 +66,10 @@ def parse_xplane(out_dir: str):
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "Ops" not in line.name:
+            # EXACTLY the synchronous op line: 'Async XLA Ops' (DMA /
+            # prefetch engines) overlaps compute and is measured by
+            # wall duration — folding it in multiple-counts the step
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = plane.event_metadata[ev.metadata_id].name

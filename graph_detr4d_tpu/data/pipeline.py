@@ -530,10 +530,7 @@ def build_batch(
     if use_native and not training:
         from ..native import available
 
-        # the C++ loader fuses normalize into its resize output (f32);
-        # raw-uint8 shipping needs the python path until the loader
-        # grows a no-normalize uint8 output mode
-        use_native = available() and not device_normalize
+        use_native = available()
     for s in samples:
         bboxes = s["gt_bboxes"]
         # multi-scale training: pick the per-sample random resize target
@@ -574,20 +571,35 @@ def build_batch(
         if use_native and not training:
             from ..native import load_images
 
-            # the C++ loader normalizes in decoded (RGB) order; BGR
-            # configs normalize with channel-reversed mean/std then
-            # flip the normalized output — identical to flip-first
-            imgs = load_images(
-                list(s["image_paths"]),
-                resize=p.resize,
-                crop_xy=(p.crop[0], p.crop[1]),
-                out_hw=final_hw,
-                flip=p.flip,
-                mean=tuple(mean[::-1] if bgr else mean),
-                std=tuple(std[::-1] if bgr else std),
-            )
-            if bgr:
-                imgs = [im[..., ::-1] for im in imgs]
+            if device_normalize:
+                # raw-uint8 output mode: ship raw pixels, normalize on
+                # device; only the BGR channel reversal happens here
+                # (a view, free) — same contract as the python path
+                imgs = load_images(
+                    list(s["image_paths"]),
+                    resize=p.resize,
+                    crop_xy=(p.crop[0], p.crop[1]),
+                    out_hw=final_hw,
+                    flip=p.flip,
+                    raw_uint8=True,
+                )
+                if bgr:
+                    imgs = [im[..., ::-1] for im in imgs]
+            else:
+                # the C++ loader normalizes in decoded (RGB) order; BGR
+                # configs normalize with channel-reversed mean/std then
+                # flip the normalized output — identical to flip-first
+                imgs = load_images(
+                    list(s["image_paths"]),
+                    resize=p.resize,
+                    crop_xy=(p.crop[0], p.crop[1]),
+                    out_hw=final_hw,
+                    flip=p.flip,
+                    mean=tuple(mean[::-1] if bgr else mean),
+                    std=tuple(std[::-1] if bgr else std),
+                )
+                if bgr:
+                    imgs = [im[..., ::-1] for im in imgs]
             ida4 = np.eye(4, dtype=np.float64)
             m3 = p.ida_mat()
             ida4[:2, :2] = m3[:2, :2]

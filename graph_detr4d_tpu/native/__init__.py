@@ -91,6 +91,19 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
+        lib.grd4d_load_images_u8.restype = ctypes.c_int
+        lib.grd4d_load_images_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -109,10 +122,13 @@ def load_images(
     mean=(123.675, 116.28, 103.53),  # RGB, img_norm_cfg
     std=(58.395, 57.12, 57.375),
     num_threads: int = 0,
+    raw_uint8: bool = False,
 ) -> np.ndarray:
-    """Decode + fused resize/crop/flip + normalize a camera set.
+    """Decode + fused resize/crop/flip (+ normalize) a camera set.
 
-    Returns (len(paths), out_h, out_w, 3) float32. Raises RuntimeError on
+    Returns (len(paths), out_h, out_w, 3) float32 — or RAW uint8 with
+    `raw_uint8=True` (no normalization; the device_normalize serving
+    path, 1/4 the host->device bytes). Raises RuntimeError on
     unreadable/corrupt files or when the native library is unavailable.
     """
     lib = _load()
@@ -120,27 +136,42 @@ def load_images(
         raise RuntimeError("native loader unavailable (g++/libjpeg)")
     n = len(paths)
     out_h, out_w = out_hw
-    out = np.empty((n, out_h, out_w, 3), np.float32)
     c_paths = (ctypes.c_char_p * n)(
         *[p.encode() for p in paths]
     )
-    mean_a = np.asarray(mean, np.float32)
-    std_a = np.asarray(std, np.float32)
     nt = num_threads or min(n, os.cpu_count() or 1)
-    failed = lib.grd4d_load_images(
-        c_paths,
-        n,
-        ctypes.c_double(resize),
-        int(crop_xy[0]),
-        int(crop_xy[1]),
-        out_h,
-        out_w,
-        int(bool(flip)),
-        mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        nt,
-    )
+    if raw_uint8:
+        out = np.empty((n, out_h, out_w, 3), np.uint8)
+        failed = lib.grd4d_load_images_u8(
+            c_paths,
+            n,
+            ctypes.c_double(resize),
+            int(crop_xy[0]),
+            int(crop_xy[1]),
+            out_h,
+            out_w,
+            int(bool(flip)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nt,
+        )
+    else:
+        out = np.empty((n, out_h, out_w, 3), np.float32)
+        mean_a = np.asarray(mean, np.float32)
+        std_a = np.asarray(std, np.float32)
+        failed = lib.grd4d_load_images(
+            c_paths,
+            n,
+            ctypes.c_double(resize),
+            int(crop_xy[0]),
+            int(crop_xy[1]),
+            out_h,
+            out_w,
+            int(bool(flip)),
+            mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nt,
+        )
     if failed:
         raise RuntimeError(f"native loader failed on {failed} image(s)")
     return out

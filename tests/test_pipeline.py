@@ -782,7 +782,14 @@ def test_device_normalize_ships_uint8_and_matches(tmp_path):
     rng = np.random.RandomState(3)
     paths = []
     for i in range(2):
-        img = (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+        # smooth content: the native loader samples the SOURCE directly
+        # while the python path resizes (cv2 fixed-point) then crops —
+        # equal math, different rounding, so noise images amplify the
+        # legitimate resampling delta (same fixture choice as
+        # test_native_loader_matches_python_path)
+        img = cv2.GaussianBlur(
+            (rng.rand(64, 128, 3) * 255).astype(np.uint8), (15, 15), 5
+        )
         p = str(tmp_path / f"cam{i}.jpg")
         cv2.imwrite(p, img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 100])
         paths.append(p)
@@ -811,3 +818,36 @@ def test_device_normalize_ships_uint8_and_matches(tmp_path):
     assert b_raw["images"].dtype == np.uint8
     dev = (b_raw["images"].astype(np.float32) - mean) / std
     np.testing.assert_array_equal(dev, b_host["images"])
+
+    # native uint8 output mode: the C++ loader's fused resize/crop emits
+    # RAW uint8 too (grd4d_load_images_u8); must agree with the python
+    # uint8 path within bilinear rounding (native samples the source
+    # directly; python resizes via cv2 then crops)
+    from graph_detr4d_tpu import native
+
+    if native.available():
+        b_nat = build_batch(
+            [sample], device_normalize=True, use_native=True, **kw
+        )
+        assert b_nat["images"].dtype == np.uint8
+        d = np.abs(
+            b_nat["images"].astype(np.int32)
+            - b_raw["images"][..., ::-1].astype(np.int32)
+        )
+        # identical pipeline up to resampling-order rounding
+        assert float(d.mean()) < 1.0 and np.percentile(d, 99) <= 4, (
+            float(d.mean()),
+            np.percentile(d, 99),
+        )
+        # bgr variant: channel reversal stays a host-side view
+        b_nat2 = build_batch(
+            [sample],
+            img_norm=(mean, std, True),
+            device_normalize=True,
+            use_native=True,
+            **kw,
+        )
+        assert b_nat2["images"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            b_nat2["images"], b_nat["images"][..., ::-1]
+        )

@@ -65,6 +65,15 @@ def parse_args():
         "(2-D (data, cam) mesh — the win case is batch-1 serving, where "
         "the per-camera backbone/FPN/sampling FLOPs split across chips)",
     )
+    p.add_argument(
+        "--native-loader",
+        action="store_true",
+        help="decode/resize through the multithreaded C++ loader "
+        "(graph_detr4d_tpu/native; supports device_normalize uint8 "
+        "output). Opt-in: its direct-bilinear resample differs from the "
+        "python cv2 path at the rounding level, which matters for "
+        "strict parity runs. Incompatible with --tta-resizes.",
+    )
     return p.parse_args()
 
 
@@ -329,6 +338,7 @@ def main():
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                     tta_resize_mults=tta_mults,
                     device_normalize=cfg.device_normalize,
+                    use_native=args.native_loader and not tta_mults,
                 )
                 yield i, s, b
 

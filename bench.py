@@ -230,7 +230,7 @@ def main():
         from graph_detr4d_tpu.models import GraphDETR4D as _G
 
         nf = cfg12.head.num_frame_cams
-        imgs6 = imgs12[:, :nf]
+        imgs_cur = imgs12[:, :nf]
 
         @jax.jit
         def sstep(variables, images, lidar2img, prev_feats, carry):
@@ -265,15 +265,15 @@ def main():
                 v, im, False, None, method=_G.extract_feats
             )
         )(vars12, imgs12[:, nf:])
-        carry, prev = sstep(vars12, imgs6, l2i12, prev, jnp.float32(0.0))
+        carry, prev = sstep(vars12, imgs_cur, l2i12, prev, jnp.float32(0.0))
         float(carry)
         for _ in range(3):
-            carry, prev = sstep(vars12, imgs6, l2i12, prev, carry)
+            carry, prev = sstep(vars12, imgs_cur, l2i12, prev, carry)
         float(carry)
         t0 = time.perf_counter()
         iters = 15
         for _ in range(iters):
-            carry, prev = sstep(vars12, imgs6, l2i12, prev, carry)
+            carry, prev = sstep(vars12, imgs_cur, l2i12, prev, carry)
         float(carry)
         extras["fps_12cam_streaming"] = round(
             iters / (time.perf_counter() - t0), 3

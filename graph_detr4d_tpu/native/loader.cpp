@@ -83,13 +83,15 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels, int* width,
   return true;
 }
 
-// Fused resize(scale)+crop+flip via direct bilinear sampling of the source,
-// then (x - mean) / std into float32 HWC output. Per-column coefficients
-// are precomputed once (they do not depend on the row), so the inner loop
-// is table-driven float FMA.
-void sample_one(const uint8_t* src, int sh, int sw, double resize, int crop_x,
-                int crop_y, int out_h, int out_w, int flip, const float* mean,
-                const float* inv_std, float* out) {
+// Fused resize(scale)+crop+flip via direct bilinear sampling of the source.
+// ONE copy of the sampling math; Emit turns the bilinear float into the
+// output element (normalize-to-f32, or round-to-uint8). Per-column
+// coefficients are precomputed once (they do not depend on the row), so
+// the inner loop is table-driven float FMA.
+template <typename OutT, typename Emit>
+void sample_core(const uint8_t* src, int sh, int sw, double resize,
+                 int crop_x, int crop_y, int out_h, int out_w, int flip,
+                 OutT* out, Emit emit) {
   std::vector<int> xo0(out_w), xo1(out_w);
   std::vector<float> xlx(out_w);
   for (int xo = 0; xo < out_w; ++xo) {
@@ -110,7 +112,7 @@ void sample_one(const uint8_t* src, int sh, int sw, double resize, int crop_x,
     const uint8_t* row1 =
         src + size_t(y0 + 1 < 0 ? 0 : (y0 + 1 >= sh ? sh - 1 : y0 + 1)) *
                   sw * 3;
-    float* orow = out + size_t(yo) * out_w * 3;
+    OutT* orow = out + size_t(yo) * out_w * 3;
     float omly = 1.0f - ly;
     for (int xo = 0; xo < out_w; ++xo) {
       float lx = xlx[xo];
@@ -123,57 +125,32 @@ void sample_one(const uint8_t* src, int sh, int sw, double resize, int crop_x,
       const uint8_t* p11 = row1 + xo1[xo];
       for (int c = 0; c < 3; ++c) {
         float v = w00 * p00[c] + w01 * p01[c] + w10 * p10[c] + w11 * p11[c];
-        orow[xo * 3 + c] = (v - mean[c]) * inv_std[c];
+        orow[xo * 3 + c] = emit(v, c);
       }
     }
   }
 }
 
-// Same fused resize+crop+flip bilinear, RAW uint8 output (no normalize):
-// the device_normalize serving path ships raw pixels and applies
-// (x - mean)/std on the accelerator, so h2d moves 1/4 the bytes of f32.
-// Round-to-nearest matches cv2's uint8 INTER_LINEAR within 1 LSB.
+// (x - mean) / std into float32 HWC output.
+void sample_one(const uint8_t* src, int sh, int sw, double resize, int crop_x,
+                int crop_y, int out_h, int out_w, int flip, const float* mean,
+                const float* inv_std, float* out) {
+  sample_core(src, sh, sw, resize, crop_x, crop_y, out_h, out_w, flip, out,
+              [&](float v, int c) { return (v - mean[c]) * inv_std[c]; });
+}
+
+// RAW uint8 output (no normalize): the device_normalize serving path ships
+// raw pixels and applies (x - mean)/std on the accelerator, so h2d moves
+// 1/4 the bytes of f32. Round-to-nearest matches cv2's uint8 INTER_LINEAR
+// within 1 LSB.
 void sample_one_u8(const uint8_t* src, int sh, int sw, double resize,
                    int crop_x, int crop_y, int out_h, int out_w, int flip,
                    uint8_t* out) {
-  std::vector<int> xo0(out_w), xo1(out_w);
-  std::vector<float> xlx(out_w);
-  for (int xo = 0; xo < out_w; ++xo) {
-    int xi = flip ? (out_w - 1 - xo) : xo;
-    double xs = (crop_x + xi + 0.5) / resize - 0.5;
-    int x0 = (int)std::floor(xs);
-    xlx[xo] = float(xs - x0);
-    xo0[xo] = (x0 < 0 ? 0 : (x0 >= sw ? sw - 1 : x0)) * 3;
-    xo1[xo] = (x0 + 1 < 0 ? 0 : (x0 + 1 >= sw ? sw - 1 : x0 + 1)) * 3;
-  }
-  for (int yo = 0; yo < out_h; ++yo) {
-    double ys = (crop_y + yo + 0.5) / resize - 0.5;
-    int y0 = (int)std::floor(ys);
-    float ly = float(ys - y0);
-    const uint8_t* row0 =
-        src + size_t(y0 < 0 ? 0 : (y0 >= sh ? sh - 1 : y0)) * sw * 3;
-    const uint8_t* row1 =
-        src + size_t(y0 + 1 < 0 ? 0 : (y0 + 1 >= sh ? sh - 1 : y0 + 1)) *
-                  sw * 3;
-    uint8_t* orow = out + size_t(yo) * out_w * 3;
-    float omly = 1.0f - ly;
-    for (int xo = 0; xo < out_w; ++xo) {
-      float lx = xlx[xo];
-      float omlx = 1.0f - lx;
-      float w00 = omly * omlx, w01 = omly * lx;
-      float w10 = ly * omlx, w11 = ly * lx;
-      const uint8_t* p00 = row0 + xo0[xo];
-      const uint8_t* p01 = row0 + xo1[xo];
-      const uint8_t* p10 = row1 + xo0[xo];
-      const uint8_t* p11 = row1 + xo1[xo];
-      for (int c = 0; c < 3; ++c) {
-        float v = w00 * p00[c] + w01 * p01[c] + w10 * p10[c] + w11 * p11[c];
-        v = v + 0.5f;
-        orow[xo * 3 + c] =
-            (uint8_t)(v < 0.0f ? 0 : (v > 255.0f ? 255 : (int)v));
-      }
-    }
-  }
+  sample_core(src, sh, sw, resize, crop_x, crop_y, out_h, out_w, flip, out,
+              [](float v, int) {
+                v += 0.5f;
+                return (uint8_t)(v < 0.0f ? 0 : (v > 255.0f ? 255 : (int)v));
+              });
 }
 
 }  // namespace

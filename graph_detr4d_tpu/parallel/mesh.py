@@ -71,6 +71,28 @@ def constrain(x, *spec_axes):
 _CAM_KEYS = ("images", "lidar2img", "intrinsics", "ida_scale", "depth_factors")
 
 
+def cast_for_transfer(batch, bf16: bool):
+    """Minimize image bytes before the host->device transfer: under a
+    bf16 compute config, float images cast to bf16 on host — compute-
+    exact, the backbone casts its input to bf16 anyway (grid-mask is a
+    0/1 multiply) — HALVING h2d bytes, which dominate train iter time on
+    remote-attached TPUs (~36 MB/s tunnel, PROFILE.md). uint8
+    (device_normalize raw pixels) already ships at minimum width. The
+    ONE shared implementation of this rule — Trainer, the eval CLI, and
+    the timing tools all call it."""
+    import ml_dtypes
+
+    imgs = batch.get("images")
+    if (
+        not bf16
+        or imgs is None
+        or np.asarray(imgs).dtype
+        in (np.dtype(ml_dtypes.bfloat16), np.uint8)
+    ):
+        return batch
+    return {**batch, "images": np.asarray(imgs).astype(ml_dtypes.bfloat16)}
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a host batch with leading batch axis sharded over the mesh;
     on a (data, cam) mesh, (B, N, ...) arrays also shard their camera

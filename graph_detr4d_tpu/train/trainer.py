@@ -12,13 +12,16 @@ from typing import Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
-import ml_dtypes
 import numpy as np
 
-_BF16 = np.dtype(ml_dtypes.bfloat16)
-
 from ..config import ModelConfig
-from ..parallel import make_mesh, shard_batch, replicate, build_train_step
+from ..parallel import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    build_train_step,
+    cast_for_transfer,
+)
 from ..parallel.step import init_state
 from .checkpoint import CheckpointManager
 
@@ -160,19 +163,9 @@ class Trainer:
     def _to_device(self, batch):
         """Cast + place one host batch on the mesh. Runs on the prefetch
         thread so the (tunnel-slow) h2d transfer overlaps compute."""
-        if (
-            self.cfg.bf16
-            and batch["images"].dtype not in (_BF16, np.uint8)
-        ):
-            # ship images bf16: the backbone casts its input to bf16
-            # anyway (detector.extract_feats; grid-mask is a 0/1
-            # multiply), so this is compute-exact and HALVES the
-            # host->device bytes — the train iter is transfer-bound on
-            # remote-attached TPUs (smoke500: 5-8 s/iter vs a 289 ms
-            # device step). uint8 (device_normalize raw pixels) already
-            # ships at the minimum width — keep it.
-            batch = {**batch, "images": batch["images"].astype(_BF16)}
-        return shard_batch(batch, self.mesh)
+        return shard_batch(
+            cast_for_transfer(batch, self.cfg.bf16), self.mesh
+        )
 
     def _stop_profile(self, metrics):
         # force completion through a host value fetch — block_until_ready

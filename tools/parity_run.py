@@ -170,10 +170,18 @@ def main():
         "delta_NDS": round(got_nds - b_nds, 2) if b_nds is not None else None,
     }
     ok = True
-    if args.require_parity and b_map is not None:
-        ok = (got_map >= b_map - args.tolerance) and (
-            got_nds >= b_nds - args.tolerance
-        )
+    if args.require_parity:
+        # gate on whichever baselines exist (a one-sided --baseline-map
+        # or --baseline-nds must not crash or be silently ignored)
+        checks = []
+        if b_map is not None:
+            checks.append(got_map >= b_map - args.tolerance)
+        if b_nds is not None:
+            checks.append(got_nds >= b_nds - args.tolerance)
+        if not checks:
+            print(json.dumps({**verdict, "error": "no baseline row"}))
+            sys.exit(2)
+        ok = all(checks)
         verdict["parity"] = bool(ok)
     print(json.dumps(verdict))
     sys.exit(0 if ok else 1)

@@ -18,6 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("GRD4D_PLATFORM"):
+    # CPU escape for shape-checking the trace/parse path while the
+    # tunnel is down (the axon sitecustomize force-selects TPU
+    # programmatically; the env var alone is not enough — CLAUDE.md)
+    jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),

@@ -74,7 +74,13 @@ def parse_args():
         "python cv2 path at the rounding level, which matters for "
         "strict parity runs. Incompatible with --tta-resizes.",
     )
-    return p.parse_args()
+    args = p.parse_args()
+    if args.native_loader and args.tta_resizes:
+        p.error(
+            "--native-loader and --tta-resizes are incompatible (TTA "
+            "copies reuse the python path's decoded images)"
+        )
+    return args
 
 
 def main():
@@ -164,18 +170,9 @@ def main():
         batch, gt_bboxes, gt_labels, gt_valid, tokens, gt_attrs=None,
         ego_xys=None,
     ):
-        if cfg.bf16 and np.asarray(batch["images"]).dtype != np.uint8:
-            # compute-exact (the backbone casts to bf16 anyway) and
-            # halves host->device bytes over the tunnel; uint8
-            # (device_normalize raw pixels) already ships minimal
-            import ml_dtypes
+        from graph_detr4d_tpu.parallel import cast_for_transfer
 
-            batch = {
-                **batch,
-                "images": np.asarray(batch["images"]).astype(
-                    ml_dtypes.bfloat16
-                ),
-            }
+        batch = cast_for_transfer(batch, cfg.bf16)
         if mesh is not None:
             from graph_detr4d_tpu.parallel.mesh import shard_batch
 
@@ -338,7 +335,7 @@ def main():
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                     tta_resize_mults=tta_mults,
                     device_normalize=cfg.device_normalize,
-                    use_native=args.native_loader and not tta_mults,
+                    use_native=args.native_loader,
                 )
                 yield i, s, b
 

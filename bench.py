@@ -109,6 +109,12 @@ def main():
             img_size=(H, W),
             bf16=True,
         )
+        # A/B kernel-variant runs stay reproducible through bench:
+        # GRD4D_DCN_GATHER / GRD4D_MSDA_IMPL rewrite the config here
+        # (library code never reads the env)
+        from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+        cfg = apply_env_kernel_overrides(cfg)
         model = GraphDETR4D(cfg)
         batch = synthetic_batch(cfg, batch_size=batch_size)
         imgs = jnp.asarray(batch["images"])

@@ -45,6 +45,14 @@ class BackboneConfig:
     # chunk already saturates the chip, so re-running the EXACT
     # 6-image program per chunk restores linear scaling. None = off.
     cam_chunk: Optional[int] = None
+    # DCN large-grid tap-sampling kernel variant (ops/deform_conv.py):
+    # 'shift4' (folded-corner fp gather, exact, default) | 'int8'
+    # (per-(batch,channel) amax-quantized table: halves gather bandwidth,
+    # ~0.4%-of-range worst-case value error, 5.7% box rank churn measured
+    # — serving opt-in only, tools/int8_box_bound.py). Small grids always
+    # use the exact one-hot MXU path regardless. CLI env override:
+    # GRD4D_DCN_GATHER (configs.apply_env_kernel_overrides).
+    dcn_gather: str = "shift4"
 
 
 @dataclass(frozen=True)
@@ -134,6 +142,17 @@ class HeadConfig:
     petr_position_range: Tuple[float, ...] = (
         -61.2, -61.2, -10.0, 61.2, 61.2, 10.0,
     )
+    # MSDA large-level sampling layout (ops/msda.py): 'shift4h' (fastest
+    # measured on chip, default) | 'pair' | 'shift4' | 'gather4' (pure
+    # gather baseline, also disables the one-hot small-level branch —
+    # required for honest A/B). CLI env override: GRD4D_MSDA_IMPL.
+    msda_impl: str = "shift4h"
+    # build MSDA gather tables from RAW features and fold value_proj in
+    # afterwards (exact; lets XLA CSE the 6 decoder layers' table builds
+    # into one). Measured slower at B=1 (9.62 vs 9.88 fps — the 4x-corner
+    # projection matmul outweighs the saved churn), kept for larger-batch
+    # experiments. CLI env override: GRD4D_MSDA_LATEPROJ=1.
+    msda_late_proj: bool = False
 
 
 @dataclass(frozen=True)

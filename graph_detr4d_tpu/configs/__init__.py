@@ -59,25 +59,91 @@ def get_config(
 
 def apply_overrides(cfg, overrides: Sequence[str]):
     """Dot-path overrides on nested frozen dataclasses:
-    'head.num_query=600' / 'bf16=False' / 'img_size=(320,800)'."""
+    'head.num_query=600' / 'bf16=False' / 'img_size=(320,800)'.
+
+    Coercion is driven by the TARGET field's declared type: bool and
+    Optional fields get mmcv-style lowercase 'true'/'false'/'none'
+    parsing, while str fields keep the raw text — so a genuinely
+    string-valued option can still be set to the literal 'none'."""
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"override {ov!r} must be key=value")
         path, raw = ov.split("=", 1)
-        if raw.strip().lower() in ("true", "false"):
-            # accept mmcv-style lowercase bools: 'backbone.remat=true'
-            # must set the bool, not the (truthy) string "true"
-            value = raw.strip().lower() == "true"
-        elif raw.strip().lower() in ("none", "null"):
-            value = None
-        else:
-            try:
-                value = ast.literal_eval(raw)
-            except (ValueError, SyntaxError):
-                value = raw  # bare string
         keys = path.strip().split(".")
+        value = _coerce(raw, _field_type(cfg, keys))
         cfg = _replace_path(cfg, keys, value)
     return cfg
+
+
+def _field_type(obj, keys):
+    """Declared type of the dataclass field at a dot path (None if the
+    path doesn't resolve — _replace_path raises the real error)."""
+    try:
+        for k in keys[:-1]:
+            obj = getattr(obj, k)
+        for f in dataclasses.fields(obj):
+            if f.name == keys[-1]:
+                return f.type
+    except (AttributeError, TypeError):
+        pass
+    return None
+
+
+def _type_accepts(tp, target) -> bool:
+    import types as _t
+    import typing as _ty
+
+    if tp is target:
+        return True
+    origin = _ty.get_origin(tp)
+    if origin is _ty.Union or origin is getattr(_t, "UnionType", ()):
+        return any(_type_accepts(a, target) for a in _ty.get_args(tp))
+    return False
+
+
+def _coerce(raw: str, tp):
+    s = raw.strip()
+    if tp is str:
+        return s  # string field: 'none'/'true' stay strings
+    low = s.lower()
+    if low in ("true", "false") and (tp is None or _type_accepts(tp, bool)):
+        # mmcv-style lowercase bools: 'backbone.remat=true' must set the
+        # bool, not the (truthy) string "true"
+        return low == "true"
+    if low in ("none", "null") and (
+        tp is None or _type_accepts(tp, type(None))
+    ):
+        return None
+    try:
+        return ast.literal_eval(s)
+    except (ValueError, SyntaxError):
+        return s  # bare string
+
+
+def apply_env_kernel_overrides(cfg):
+    """CLI-layer kernel-variant overrides from GRD4D_* environment vars.
+
+    Library code never reads these (the jit cache is not keyed on env and
+    two configs in one process must not share a variant silently); CLIs
+    and bench tools call this ONCE at startup so the active kernel
+    variants become ordinary config fields — visible to the jit cache,
+    to logs, and to export manifests.
+    """
+    import os
+
+    ovs = []
+    v = os.environ.get("GRD4D_DCN_GATHER")
+    if v:
+        ovs.append(f"backbone.dcn_gather={v}")
+    v = os.environ.get("GRD4D_MSDA_IMPL")
+    if v:
+        ovs.append(f"head.msda_impl={v}")
+    v = os.environ.get("GRD4D_MSDA_LATEPROJ")
+    if v is not None:
+        ovs.append(
+            "head.msda_late_proj=" + ("true" if v == "1" else "false")
+        )
+    return apply_overrides(cfg, ovs) if ovs else cfg
 
 
 def _replace_path(obj, keys, value):

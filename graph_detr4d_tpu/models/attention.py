@@ -77,6 +77,11 @@ class Deform3DCrossAttn(nn.Module):
     # (it computes the concat at multi_point.py:444-446 but then feeds the
     # plain 3-d center points to the encoder), so it exists only here.
     depth_encode: bool = False
+    # MSDA sampling layout + late-projection switch (HeadConfig.msda_impl
+    # / msda_late_proj); library code is env-free — the CLI layer may
+    # rewrite config from GRD4D_* (configs.apply_env_kernel_overrides)
+    msda_impl: str = "shift4h"
+    msda_late_proj: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -167,7 +172,7 @@ class Deform3DCrossAttn(nn.Module):
         attn = jax.nn.softmax(attn_logits.astype(jnp.float32), axis=-1)
         attn = attn.reshape(B, 1, Q, H_heads, L, P) * valid
 
-        # value projection per level. GRD4D_MSDA_LATEPROJ=1 passes it as
+        # value projection per level. msda_late_proj=True passes it as
         # a callable into the MSDA op so large-level gather tables build
         # from RAW features (layer-invariant -> XLA CSEs the 6 layers'
         # builds into one, ops/msda.py build_corner_table). Measured
@@ -175,9 +180,7 @@ class Deform3DCrossAttn(nn.Module):
         # per-head transpose outweigh the churn it saves — so the default
         # projects EARLY per layer; the flag remains for larger-batch
         # experiments.
-        import os as _os
-
-        late_proj = _os.environ.get("GRD4D_MSDA_LATEPROJ") == "1"
+        late_proj = self.msda_late_proj
         vproj = nn.Dense(
             C,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -189,7 +192,9 @@ class Deform3DCrossAttn(nn.Module):
                 v.reshape(B * N, v.shape[2], v.shape[3], v.shape[-1])
                 for v in value_levels
             ]
-            msda_kw = dict(project=vproj, nheads=H_heads)
+            msda_kw = dict(
+                project=vproj, nheads=H_heads, impl=self.msda_impl
+            )
         else:
             hd = C // H_heads
             values = [
@@ -198,7 +203,7 @@ class Deform3DCrossAttn(nn.Module):
                 )
                 for v in value_levels
             ]
-            msda_kw = {}
+            msda_kw = {"impl": self.msda_impl}
 
         K = min(Q, int(math.ceil(Q * self.cam_capacity)))
         if K < Q:

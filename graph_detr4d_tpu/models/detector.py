@@ -50,6 +50,7 @@ class GraphDETR4D(nn.Module):
                 out_indices=self.cfg.backbone.out_indices,
                 stage_with_dcn=self.cfg.backbone.stage_with_dcn,
                 use_dcn=self.cfg.backbone.use_dcn,
+                dcn_gather=self.cfg.backbone.dcn_gather,
                 remat=self.cfg.backbone.remat,
                 dtype=dtype,
             )

@@ -234,6 +234,8 @@ class Detr3DHeadPE(nn.Module):
                 cam_capacity=cfg.cam_capacity,
                 fix_offset=cfg.fix_offset,
                 depth_encode=cfg.depth_encode,
+                msda_impl=cfg.msda_impl,
+                msda_late_proj=cfg.msda_late_proj,
                 dtype=self.dtype,
                 name=f"decoder_layer{lid}",
             )

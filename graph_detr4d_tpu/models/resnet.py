@@ -34,6 +34,8 @@ class DeformConv(nn.Module):
 
     features: int
     stride: int = 1
+    # large-grid tap-sampling variant (BackboneConfig.dcn_gather)
+    gather_variant: str = "shift4"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -58,7 +60,13 @@ class DeformConv(nn.Module):
             (K, cin, self.features),
         )
         return deform_conv2d(
-            x, off, mask, weight, stride=self.stride, padding=1
+            x,
+            off,
+            mask,
+            weight,
+            stride=self.stride,
+            padding=1,
+            variant=self.gather_variant,
         )
 
 
@@ -70,6 +78,7 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     use_dcn: bool = False
+    dcn_gather: str = "shift4"  # accepted but unused, like use_dcn
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +125,7 @@ class Bottleneck(nn.Module):
     features: int  # width of the 3x3; output is 4x
     stride: int = 1
     use_dcn: bool = False
+    dcn_gather: str = "shift4"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -133,7 +143,11 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         if self.use_dcn:
             y = DeformConv(
-                self.features, stride=self.stride, dtype=self.dtype, name="conv2"
+                self.features,
+                stride=self.stride,
+                gather_variant=self.dcn_gather,
+                dtype=self.dtype,
+                name="conv2",
             )(y)
         else:
             y = nn.Conv(
@@ -171,6 +185,7 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     stage_with_dcn: Sequence[bool] = (False, False, True, True)
     use_dcn: bool = True
+    dcn_gather: str = "shift4"
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -200,12 +215,14 @@ class ResNet(nn.Module):
             cls = nn.remat(block_cls) if self.remat else block_cls
             for b in range(num_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
+                kw = {"dcn_gather": self.dcn_gather} if dcn else {}
                 x = cls(
                     features=width,
                     stride=stride,
                     use_dcn=dcn,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
+                    **kw,
                 )(x)
             if stage in self.out_indices:
                 outs.append(x)

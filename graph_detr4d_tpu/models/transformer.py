@@ -55,6 +55,8 @@ class DecoderLayer(nn.Module):
     cam_capacity: float = 1.0
     fix_offset: bool = False  # deform3d_cross_attn.py:64 (freeze offsets)
     depth_encode: bool = False  # deform3d_cross_attn.py:65 (rho PE input)
+    msda_impl: str = "shift4h"  # HeadConfig.msda_impl
+    msda_late_proj: bool = False  # HeadConfig.msda_late_proj
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -95,6 +97,8 @@ class DecoderLayer(nn.Module):
                 cam_capacity=self.cam_capacity,
                 fix_offset=self.fix_offset,
                 depth_encode=self.depth_encode,
+                msda_impl=self.msda_impl,
+                msda_late_proj=self.msda_late_proj,
                 dtype=self.dtype,
                 name="cross_attn",
             )(

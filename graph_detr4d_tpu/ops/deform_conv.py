@@ -84,12 +84,16 @@ def deform_conv2d(
     stride: int = 1,
     padding: int = 1,
     kernel_size: int = 3,
+    variant: str = "shift4",
 ) -> jnp.ndarray:
     """Args:
       x:       (B, H, W, Cin) input, channels-last.
       offsets: (B, Ho, Wo, K, 2) per-tap (dy, dx) offsets.
       mask:    (B, Ho, Wo, K) modulation (already sigmoid-ed).
       weight:  (K, Cin, Cout) tap-major conv weight.
+      variant: large-grid tap-sampling layout, 'shift4' (exact fp folded
+        corners) | 'int8' (quantized table; BackboneConfig.dcn_gather).
+        Small grids take the one-hot MXU path regardless.
 
     Returns (B, Ho, Wo, Cout).
     """
@@ -120,9 +124,6 @@ def deform_conv2d(
         )
         return out.astype(dtype)
 
-    import os as _os
-
-    variant = _os.environ.get("GRD4D_DCN_GATHER", "shift4")
     if variant == "int8":
         return _deform_conv_int8(
             x, offsets, mask, weight, stride, padding, kernel_size

@@ -376,8 +376,8 @@ def multi_scale_deformable_attention(
     locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     impl: str = "shift4h",  # fastest measured on chip: 9.34/9.33 fps vs
-    # 9.32/9.30 for 'pair' across two A/B rounds (PROFILE.md); override
-    # per-call or via GRD4D_MSDA_IMPL
+    # 9.32/9.30 for 'pair' across two A/B rounds (PROFILE.md); set per
+    # call from HeadConfig.msda_impl
     project=None,
     nheads: int = None,
 ) -> jnp.ndarray:
@@ -411,13 +411,12 @@ def multi_scale_deformable_attention(
         "shift4h": _sample_level_shift4h,
         "pair": _sample_level_pair,
     }
-    import os as _os
-
-    # Resolve the effective impl ONCE (env var wins) so the one-hot
-    # small-level branch keys off the same choice: selecting 'gather4'
-    # (by param or env) yields a PURE gather baseline with no one-hot
-    # levels — required for honest A/B measurements.
-    impl = _os.environ.get("GRD4D_MSDA_IMPL", impl)
+    # The one-hot small-level branch keys off the same choice: selecting
+    # 'gather4' yields a PURE gather baseline with no one-hot levels —
+    # required for honest A/B measurements. Impl selection is config-
+    # driven (HeadConfig.msda_impl); the CLI layer may rewrite config
+    # from GRD4D_MSDA_IMPL (configs.apply_env_kernel_overrides) but
+    # library code never reads the environment.
     base = impls[impl]
     out = None
     for lvl in range(L):

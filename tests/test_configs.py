@@ -67,6 +67,51 @@ def test_overrides_mmcv_style_literals():
     assert cfg3.backbone_type == "vovnet"
 
 
+def test_overrides_type_driven_coercion():
+    # coercion keys off the TARGET field's declared type: a str field
+    # can be set to the literal 'none'/'true' (previously impossible)
+    cfg = get_config(
+        "detr4d_res50_deform_pe_testaug_2subset_12e",
+        overrides=["backbone.dcn_gather=none"],
+    )
+    assert cfg.backbone.dcn_gather == "none"  # literal string, not None
+    # Optional fields still parse mmcv-style 'none'
+    cfg2 = apply_overrides(cfg, ["backbone.cam_chunk=none"])
+    assert cfg2.backbone.cam_chunk is None
+    # bool fields still parse lowercase literals
+    cfg3 = apply_overrides(cfg, ["head.msda_late_proj=true"])
+    assert cfg3.head.msda_late_proj is True
+
+
+def test_env_kernel_overrides(monkeypatch):
+    # GRD4D_* env vars rewrite config at the CLI layer ONLY — library
+    # code never reads the environment (round-3 verdict: the jit cache
+    # must key on the variant)
+    from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+    cfg = get_config("detr4d_res50_deform_pe_testaug_2subset_12e")
+    same = apply_env_kernel_overrides(cfg)
+    assert same is cfg  # no env set -> untouched
+
+    monkeypatch.setenv("GRD4D_DCN_GATHER", "int8")
+    monkeypatch.setenv("GRD4D_MSDA_IMPL", "pair")
+    monkeypatch.setenv("GRD4D_MSDA_LATEPROJ", "1")
+    out = apply_env_kernel_overrides(cfg)
+    assert out.backbone.dcn_gather == "int8"
+    assert out.head.msda_impl == "pair"
+    assert out.head.msda_late_proj is True
+
+    # library modules are env-free for these knobs
+    import graph_detr4d_tpu.ops.msda as m
+    import graph_detr4d_tpu.ops.deform_conv as dc
+    import graph_detr4d_tpu.models.attention as att
+    import inspect
+
+    for mod in (m, dc, att):
+        src = inspect.getsource(mod)
+        assert "os.environ" not in src, mod.__name__
+
+
 def _shrink(cfg):
     """Make any named config CPU-test sized."""
     head = dataclasses.replace(

@@ -76,6 +76,13 @@ def test_export_cli_and_run(tmp_path):
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["outputs"] == ["bboxes", "scores", "labels", "valid"]
+    # the artifact records which kernel variants it was traced with
+    # (config-driven; an int8-DCN export differs numerically)
+    assert manifest["kernel_variants"] == {
+        "dcn_gather": "shift4",
+        "msda_impl": "shift4h",
+        "msda_late_proj": False,
+    }
 
     r2 = subprocess.run(
         [

@@ -439,6 +439,38 @@ def test_cam_chunk_exact():
         )
 
 
+def test_msda_late_proj_config_exact(monkeypatch):
+    """HeadConfig.msda_late_proj=True (value_proj folded in AFTER the
+    raw-feature gather-table build) must match the default early
+    projection through the whole model. ONEHOT_MAX_PIXELS=0 forces every
+    FPN level onto the table path the flag actually changes (at tiny
+    shapes all levels would otherwise take the shared one-hot branch)."""
+    import dataclasses
+
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+    from graph_detr4d_tpu.ops import msda
+
+    monkeypatch.setattr(msda, "ONEHOT_MAX_PIXELS", 0)
+    cfg0 = tiny_test_config()
+    cfg1 = dataclasses.replace(
+        cfg0, head=dataclasses.replace(cfg0.head, msda_late_proj=True)
+    )
+    m0, m1 = GraphDETR4D(cfg0), GraphDETR4D(cfg1)
+    b = synthetic_batch(cfg0, batch_size=1)
+    imgs = jnp.asarray(b["images"])
+    l2i = jnp.asarray(b["lidar2img"])
+    v = m0.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+    o0 = m0.apply(v, imgs, l2i)
+    o1 = m1.apply(v, imgs, l2i)  # same params: vproj exists in both
+    for k in o0:
+        np.testing.assert_allclose(
+            np.asarray(o0[k], np.float32),
+            np.asarray(o1[k], np.float32),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
+
 def test_head_batch_chunk_exact():
     """HeadConfig.batch_chunk re-runs the inference head per batch
     slice; outputs must exactly equal the unchunked ones (no head op

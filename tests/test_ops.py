@@ -363,8 +363,62 @@ def test_msda_shift4h_matches_gather4():
     )
 
 
+def test_msda_late_projection_matches_early():
+    """`project=` (HeadConfig.msda_late_proj): gather tables built from
+    RAW features with value_proj folded in AFTERWARDS must equal the
+    default early-projection path exactly. The stress case is a
+    projection WITH BIAS plus out-of-bounds locations: the late path
+    projects the zero-padded corner rows (bias makes them nonzero), and
+    only the OOB corners' zero weights neutralize that — a regression
+    here silently biases every OOB sample."""
+    import jax.numpy as jnp
+
+    from graph_detr4d_tpu.ops import msda
+
+    rng = np.random.RandomState(9)
+    B, nheads, hd, Cin = 2, 4, 8, 12
+    C = nheads * hd
+    shapes = [(13, 21), (7, 11)]
+    raws = [
+        jnp.asarray(rng.randn(B, h, w, Cin).astype(np.float32))
+        for h, w in shapes
+    ]
+    Wm = jnp.asarray(rng.randn(Cin, C).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.randn(C).astype(np.float32))
+
+    def project(x):
+        return x @ Wm + bias
+
+    Q, P = 9, 3
+    L = len(shapes)
+    # deliberately far out of bounds on both sides
+    loc = jnp.asarray(
+        rng.uniform(-0.4, 1.4, (B, Q, nheads, L, P, 2)).astype(np.float32)
+    )
+    attn = jnp.asarray(rng.rand(B, Q, nheads, L, P).astype(np.float32))
+
+    saved = msda.ONEHOT_MAX_PIXELS
+    try:
+        msda.ONEHOT_MAX_PIXELS = 0  # force the table/gather path
+        early = [
+            project(v).reshape(B, h, w, nheads, hd)
+            for v, (h, w) in zip(raws, shapes)
+        ]
+        want = msda.multi_scale_deformable_attention(
+            early, loc, attn, impl="shift4h"
+        )
+        got = msda.multi_scale_deformable_attention(
+            raws, loc, attn, impl="shift4h", project=project, nheads=nheads
+        )
+    finally:
+        msda.ONEHOT_MAX_PIXELS = saved
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_dcn_int8_gather_close_and_ste_grad(monkeypatch):
-    """GRD4D_DCN_GATHER=int8: same folded-corner gather as 'shift4' with
+    """variant='int8': same folded-corner gather as 'shift4' with
     the table quantized to int8 at per-(batch, channel) amax scales.
     Forward must track the exact path within quantization error (rows
     carry values rounded to amax/127 steps); backward is defined as the
@@ -381,8 +435,9 @@ def test_dcn_int8_gather_close_and_ste_grad(monkeypatch):
 
     monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 0)
     exact = dc.deform_conv2d(x, off, mask, w, stride=1, padding=1)
-    monkeypatch.setenv("GRD4D_DCN_GATHER", "int8")
-    got = dc.deform_conv2d(x, off, mask, w, stride=1, padding=1)
+    got = dc.deform_conv2d(
+        x, off, mask, w, stride=1, padding=1, variant="int8"
+    )
 
     exact_np, got_np = np.asarray(exact), np.asarray(got)
     # per-element error bound: sum over K*4 corners of Cin channels each
@@ -394,12 +449,16 @@ def test_dcn_int8_gather_close_and_ste_grad(monkeypatch):
     corr = np.corrcoef(got_np.ravel(), exact_np.ravel())[0, 1]
     assert corr > 0.9995, corr
 
-    def loss_int8(x, off, mask, w):
-        return dc.deform_conv2d(x, off, mask, w, stride=1, padding=1).sum()
+    def loss(variant):
+        def f(x, off, mask, w):
+            return dc.deform_conv2d(
+                x, off, mask, w, stride=1, padding=1, variant=variant
+            ).sum()
 
-    g_int8 = jax.grad(loss_int8, argnums=(0, 1, 2, 3))(x, off, mask, w)
-    monkeypatch.delenv("GRD4D_DCN_GATHER")
-    g_fp = jax.grad(loss_int8, argnums=(0, 1, 2, 3))(x, off, mask, w)
+        return f
+
+    g_int8 = jax.grad(loss("int8"), argnums=(0, 1, 2, 3))(x, off, mask, w)
+    g_fp = jax.grad(loss("shift4"), argnums=(0, 1, 2, 3))(x, off, mask, w)
     for a, b in zip(g_int8, g_fp):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5

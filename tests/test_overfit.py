@@ -121,8 +121,8 @@ def test_overfit_two_samples():
 def test_overfit_int8_dcn_path(monkeypatch):
     """Training still FITS with the int8 DCN serving path active.
 
-    GRD4D_DCN_GATHER=int8 quantizes the stage-3/4 gather tables to int8
-    (forward noise <= amax/254 per element) with a straight-through
+    backbone.dcn_gather='int8' quantizes the stage-3/4 gather tables to
+    int8 (forward noise <= amax/254 per element) with a straight-through
     backward (exact vjp of the bf16 path, test_ops.py). This proves the
     quantization noise doesn't break optimization at the model level:
     ONEHOT_MAX_PIXELS=0 forces EVERY DCN block onto the int8 path and
@@ -131,10 +131,9 @@ def test_overfit_int8_dcn_path(monkeypatch):
     from graph_detr4d_tpu.ops import deform_conv as dc
 
     monkeypatch.setattr(dc, "ONEHOT_MAX_PIXELS", 0)
-    monkeypatch.setenv("GRD4D_DCN_GATHER", "int8")
 
     cfg = ModelConfig(
-        backbone=BackboneConfig(depth=18, use_dcn=True),
+        backbone=BackboneConfig(depth=18, use_dcn=True, dcn_gather="int8"),
         neck=NeckConfig(in_channels=(64, 128, 256, 512), out_channels=32),
         head=HeadConfig(
             num_query=16,

@@ -194,6 +194,9 @@ def main():
 
         cfg_name = args.config
         cfg = get_config(cfg_name, args.cfg_options)
+    from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+    cfg = apply_env_kernel_overrides(cfg)
 
     # single-device serving defaults (measured on chip, PROFILE.md):
     # chunk the conv stack at 6 folded images and the head at batch 1 —
@@ -257,6 +260,13 @@ def main():
         "num_cams": cfg.head.num_cams,
         "img_size": list(cfg.img_size),
         "platforms": platforms,
+        # kernel variants the artifact was traced with (config-driven;
+        # an int8-DCN export differs numerically from the default)
+        "kernel_variants": {
+            "dcn_gather": cfg.backbone.dcn_gather,
+            "msda_impl": cfg.head.msda_impl,
+            "msda_late_proj": cfg.head.msda_late_proj,
+        },
         "inputs": {
             "images": [list(imgs.shape), str(imgs.dtype)],
             "lidar2img": [list(l2i.shape), str(l2i.dtype)],

@@ -1,7 +1,7 @@
 """Bound the int8 DCN gather-table quantization at BOX level.
 
 PROFILE.md records ~1e-2 relative cls-logit drift for the opt-in
-`GRD4D_DCN_GATHER=int8` serving path (halves the bandwidth-bound stage-3
+`backbone.dcn_gather=int8` serving path (halves the bandwidth-bound stage-3
 gather bytes, 9.31 -> 9.58 fps), but the decision to promote/keep-opt-in
 needs the number users feel: the decoded-box delta on the flagship shape.
 
@@ -16,8 +16,9 @@ bf16) and reports, over the NMS-free decode's top-max_num boxes:
 Run on the real chip (~2 min):  python tools/int8_box_bound.py
 CPU escape for shape-checking:  GRD4D_PLATFORM=cpu ... --tiny
 
-The env var is read at TRACE time inside ops/deform_conv.py, so the two
-paths are traced as two distinct jitted functions in one process.
+The variant is an ordinary config field (BackboneConfig.dcn_gather), so
+the two paths are two distinct configs/models traced as two distinct
+jitted functions in one process — the jit cache keys on it naturally.
 """
 
 import argparse
@@ -84,29 +85,33 @@ def main():
     )
 
     def run(variant):
-        # env is read at trace time; a fresh lambda forces a fresh trace
-        os.environ["GRD4D_DCN_GATHER"] = variant
-        try:
-            out = jax.jit(lambda v, i, l: model.apply(v, i, l))(
-                variables, imgs, l2i
-            )
-            det = decode_batch(
-                out,
-                max_num=cfg.coder.max_num,
-                post_center_range=cfg.coder.post_center_range,
-            )
-            # raw top-K selection: the flattened (query*class) indices the
-            # coder ranks, BEFORE the post-center-range validity mask
-            cls = out["all_cls_scores"][-1]  # (B, Q, C) final layer
-            B, Q, C = cls.shape
-            scores = jax.nn.sigmoid(cls.astype(jnp.float32)).reshape(B, -1)
-            _, idx = jax.lax.top_k(scores, cfg.coder.max_num)
-            return (
-                jax.tree_util.tree_map(np.asarray, det),
-                np.asarray(idx),
-            )
-        finally:
-            os.environ.pop("GRD4D_DCN_GATHER", None)
+        # the variant only changes the sampling kernel, not the param
+        # tree, so the SAME variables apply to both models
+        import dataclasses
+
+        vcfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, dcn_gather=variant),
+        )
+        vmodel = GraphDETR4D(vcfg)
+        out = jax.jit(lambda v, i, l: vmodel.apply(v, i, l))(
+            variables, imgs, l2i
+        )
+        det = decode_batch(
+            out,
+            max_num=cfg.coder.max_num,
+            post_center_range=cfg.coder.post_center_range,
+        )
+        # raw top-K selection: the flattened (query*class) indices the
+        # coder ranks, BEFORE the post-center-range validity mask
+        cls = out["all_cls_scores"][-1]  # (B, Q, C) final layer
+        B, Q, C = cls.shape
+        scores = jax.nn.sigmoid(cls.astype(jnp.float32)).reshape(B, -1)
+        _, idx = jax.lax.top_k(scores, cfg.coder.max_num)
+        return (
+            jax.tree_util.tree_map(np.asarray, det),
+            np.asarray(idx),
+        )
 
     det_a, idx_a = run("shift4")
     det_b, idx_b = run("int8")

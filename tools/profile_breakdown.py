@@ -48,12 +48,12 @@ def chained_time(fn, iters=15):
 
 
 def build(H, W, N, use_dcn=True, cam_capacity=0.5, batch_size=1,
-          cam_chunk=None, batch_chunk=None):
+          cam_chunk=None, batch_chunk=None, msda_impl="shift4h"):
     cfg = ModelConfig(
         backbone=BackboneConfig(use_dcn=use_dcn, cam_chunk=cam_chunk),
         head=HeadConfig(
             num_cams=N, with_detach=False, cam_capacity=cam_capacity,
-            batch_chunk=batch_chunk,
+            batch_chunk=batch_chunk, msda_impl=msda_impl,
         ),
         img_size=(H, W),
         bf16=True,
@@ -159,13 +159,8 @@ def main():
         measure("batch-4 msda one-hot off", batch_size=4)
     finally:
         _msda.ONEHOT_MAX_PIXELS = saved[0]
-    import os as _os
-
-    _os.environ["GRD4D_MSDA_IMPL"] = "pair"
-    try:
-        measure("batch-4 msda 'pair'", batch_size=4)
-    finally:
-        _os.environ.pop("GRD4D_MSDA_IMPL", None)
+    # MSDA layout is a config field now (HeadConfig.msda_impl)
+    measure("batch-4 msda 'pair'", batch_size=4, msda_impl="pair")
 
     # camera-chunked conv stack (BackboneConfig.cam_chunk): re-runs the
     # well-tuned 6-image program per chunk to undo the B*N>6 fusion

@@ -111,6 +111,9 @@ def main():
         cfg = get_config(args.config, overrides=args.cfg_options)
     else:
         cfg = ModelConfig(img_size=(args.img_h, args.img_w))
+    from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+    cfg = apply_env_kernel_overrides(cfg)
     if args.cam_parallel == 1 and cfg.backbone.cam_chunk is None:
         # single-device serving: chunk the conv stack at the measured
         # 6-image sweet spot (bitwise-exact; detector skips it unless

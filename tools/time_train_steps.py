@@ -137,6 +137,9 @@ def main():
         from graph_detr4d_tpu.parallel.step import build_train_step, init_state
 
         cfg = get_config(args.config, args.cfg_options)
+        from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+        cfg = apply_env_kernel_overrides(cfg)
         model = GraphDETR4D(cfg)
         batch = {
             k: jnp.asarray(v)

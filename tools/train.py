@@ -74,6 +74,16 @@ def parse_args():
         help="shard the camera axis over this many devices (2-D "
         "(data, cam) mesh; device count must be divisible)",
     )
+    p.add_argument(
+        "--native-loader",
+        action="store_true",
+        help="load/resize jpegs through the C++ loader "
+        "(graph_detr4d_tpu/native) on the TRAIN side — the reference's "
+        "hot path is 12 jpegs/sample through workers_per_gpu=4 "
+        "(loading.py:66-188); photometric jitter runs post-resize on "
+        "the fused output. Falls back to python if the native library "
+        "is unavailable",
+    )
     return p.parse_args()
 
 
@@ -106,6 +116,11 @@ def main():
             from graph_detr4d_tpu.configs import apply_overrides
 
             cfg = apply_overrides(cfg, args.cfg_options)
+    # CLI-layer kernel-variant overrides (GRD4D_DCN_GATHER etc.) become
+    # ordinary config fields here; library code never reads the env
+    from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+    cfg = apply_env_kernel_overrides(cfg)
     n_dev = len(jax.devices())
     mesh = None
     if args.cam_parallel > 1:
@@ -190,6 +205,7 @@ def main():
                     aug=cfg.train,
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                     device_normalize=cfg.device_normalize,
+                    use_native=args.native_loader,
                 )
 
     eval_fn = None
@@ -221,6 +237,7 @@ def main():
                     training=False,
                     img_norm=(cfg.img_mean, cfg.img_std, cfg.img_bgr),
                     device_normalize=cfg.device_normalize,
+                    use_native=args.native_loader,
                 )
                 dev = {
                     "images": jnp.asarray(vb["images"]),

@@ -80,6 +80,7 @@ def load_image(path: str, file_client=None) -> np.ndarray:
 
 
 _DECODE_POOL = None
+_DECODE_POOL_SIZE = None
 
 
 def _decode_pool():
@@ -89,17 +90,23 @@ def _decode_pool():
     DataLoader processes (SURVEY §3.1); here one pool decodes the 12
     camera views of a sample concurrently, deterministically (map keeps
     order; load_image consumes no rng). GRD4D_DECODE_THREADS=0 disables
-    (sequential)."""
-    global _DECODE_POOL
+    (sequential). The pool is keyed on the parsed thread count: changing
+    the env mid-process rebuilds it (the old pool drains its in-flight
+    work and is garbage-collected; callers only ever hold it through
+    pool.map, which completes before return)."""
+    global _DECODE_POOL, _DECODE_POOL_SIZE
     n = int(os.environ.get("GRD4D_DECODE_THREADS", "8"))
     if n <= 1:
         return None
-    if _DECODE_POOL is None:
+    if _DECODE_POOL is None or _DECODE_POOL_SIZE != n:
         from concurrent.futures import ThreadPoolExecutor
 
+        if _DECODE_POOL is not None:
+            _DECODE_POOL.shutdown(wait=False)
         _DECODE_POOL = ThreadPoolExecutor(
             max_workers=n, thread_name_prefix="grd4d-decode"
         )
+        _DECODE_POOL_SIZE = n
     return _DECODE_POOL
 
 
@@ -490,10 +497,12 @@ def build_batch(
     """Assemble a fixed-shape batch dict from dataset samples (images
     loaded from disk, one shared ida per sample like the reference).
 
-    use_native=True routes the eval path through the C++ loader
+    use_native=True routes image loading through the C++ loader
     (graph_detr4d_tpu/native): multithreaded JPEG decode + fused
-    resize/crop/flip/normalize outside the GIL. Training keeps the
-    python path (photometric distortion runs pre-resize)."""
+    resize/crop/flip/normalize outside the GIL — eval AND training
+    (photometric distortion then runs post-resize on the fused output;
+    see the branch comment). Samples hit by the multi-scale random
+    resize fall back to the python path; TTA is python-path only."""
     rng = rng or np.random.RandomState(0)
     mean, std, bgr = (
         img_norm if img_norm is not None else (IMG_MEAN, IMG_STD, False)
@@ -527,7 +536,7 @@ def build_batch(
         assert not training and not use_native, (
             "tta_resize_mults is an eval-only python-path feature"
         )
-    if use_native and not training:
+    if use_native:
         from ..native import available
 
         use_native = available()
@@ -568,10 +577,38 @@ def build_batch(
             return IdaAugParams(
                 resize=r, crop=(cw, ch, cw + fW, ch + fH), flip=False
             )
-        if use_native and not training:
+        # native C++ loader: eval always; training too (the reference's
+        # hot path is 12 jpegs/sample through 4 DataLoader workers,
+        # loading.py:66-188) — except when the per-sample multi-scale
+        # random resize fired (random_resize_depth_scaled also rescales
+        # l2i/boxes; that sample falls back to the python path)
+        if use_native and (not training or ms_target is None):
             from ..native import load_images
 
-            if device_normalize:
+            if training and use_photo:
+                # TRAIN path: fused C++ decode+resize/crop/flip first,
+                # float-HSV photometric on the RESIZED image after. The
+                # reference orders photometric BEFORE resize
+                # (transform_3d.py:687) — pointwise jitter and bilinear
+                # resize commute up to resampling noise, and jittering
+                # final_dim pixels instead of the 900x1600 source is
+                # cheaper; train-aug distribution only, no eval/parity
+                # impact. Output is float raw-range pixels, so
+                # device_normalize ships float here (same contract as
+                # the python train path).
+                raws = load_images(
+                    list(s["image_paths"]),
+                    resize=p.resize,
+                    crop_xy=(p.crop[0], p.crop[1]),
+                    out_hw=final_hw,
+                    flip=p.flip,
+                    raw_uint8=True,
+                )
+                imgs = [
+                    _host_norm(photometric_distortion(im, rng))
+                    for im in raws
+                ]
+            elif device_normalize:
                 # raw-uint8 output mode: ship raw pixels, normalize on
                 # device; only the BGR channel reversal happens here
                 # (a view, free) — same contract as the python path

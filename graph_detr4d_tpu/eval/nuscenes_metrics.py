@@ -162,7 +162,16 @@ class DetectionEvaluator:
         When given, bicycle/motorcycle boxes (pred AND gt) whose center
         lies inside any rack are removed — the devkit's
         filter_eval_boxes bike-rack rule, the one filtering step beyond
-        range/zero-point the devkit applies."""
+        range/zero-point the devkit applies.
+
+        Z CONVENTION: cz is the 3D CENTER for boxes AND racks (devkit
+        Box.translation; this repo's coder regresses center-z,
+        geometry/boxes.py denormalize_bbox). A caller holding
+        mmdet3d-style BOTTOM-center boxes must convert (cz += h/2)
+        first, or the rack containment test |dz| <= h/2 is shifted by
+        half a box height and bikes parked ON TOP of racks filter
+        differently from the devkit
+        (tests/test_eval.py::test_bike_rack_filter_z_convention)."""
         pred_boxes = np.asarray(pred_boxes, np.float64).reshape(-1, 9)
         gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 9)
 

@@ -405,3 +405,28 @@ def test_bike_rack_filter_devkit_semantics():
     ev3 = DetectionEvaluator(DetectionConfig(class_names=names))
     ev3.add_sample(gts, labels, scores, gts, labels, bike_racks=rack0)
     assert len(ev3.gts[-1]) == 2  # bike_in dropped (|dx|=1.5<2, |dy|=.5<3)
+
+
+def test_bike_rack_filter_z_convention():
+    """cz is CENTER-z for boxes and racks (devkit Box.translation; this
+    repo's coder regresses center-z). The vertical containment test is
+    |box_cz - rack_cz| <= rack_h/2 — a fixture where the convention
+    matters: a rack with center z=1.0, h=2.0 spans z in [0, 2]."""
+    names = ("car", "bicycle")
+    rack = np.array([[10.0, 0.0, 1.0, 4.0, 6.0, 2.0, 0.0]])
+
+    bike_inside = box(10.0, 0.0, z=1.5)  # |dz|=0.5 <= 1.0 -> filtered
+    bike_above = box(10.0, 0.0, z=2.5)  # |dz|=1.5 > 1.0 -> kept
+    # a BOTTOM-center caller would describe bike_inside as z=0.75
+    # (1.5 - h/2); fed unconverted, |dz|=0.25 still filters here, but a
+    # bike sitting ON TOP of the rack (center 2.5, bottom 1.75) would
+    # wrongly filter: |1.75 - 1.0| = 0.75 <= 1.0. The test pins the
+    # CENTER-z reading: 2.5 stays, 1.5 goes.
+    gts = np.array([bike_inside, bike_above])
+    labels = np.array([1, 1])
+    scores = np.array([0.9, 0.8])
+
+    ev = DetectionEvaluator(DetectionConfig(class_names=names))
+    ev.add_sample(gts, labels, scores, gts, labels, bike_racks=rack)
+    assert len(ev.gts[-1]) == 1
+    assert float(ev.gts[-1].xyz[0][2]) == 2.5  # the above-rack bike

@@ -376,6 +376,93 @@ def test_native_loader_matches_python_path(tmp_path):
     assert float(np.abs(nat - ref).mean()) < 0.06  # PIL downscale differs
 
 
+def test_native_loader_train_path(tmp_path):
+    """TRAIN-side native loading (tools/train.py --native-loader; ref
+    loading.py:66-188 is the reference's hot 12-jpeg train path through
+    workers_per_gpu=4). Three contracts:
+      1. photometric OFF: the native train batch matches the python
+         train batch within resample tolerance (identical seeded rng ->
+         identical ida draws; no other rng consumers);
+      2. photometric ON: shapes/finiteness hold and the output is float
+         (raw-range pixels after jitter, device_normalize contract);
+      3. multi-scale resize samples fall back to the python path
+         (random_resize_depth_scaled also rescales l2i/boxes)."""
+    import pytest
+
+    from graph_detr4d_tpu import native
+    from graph_detr4d_tpu.data.pipeline import build_batch
+
+    if not native.available():
+        pytest.skip("native toolchain/libjpeg unavailable")
+
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 needed to synthesize jpegs")
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(3):
+        img = cv2.GaussianBlur(
+            (rng.rand(128, 256, 3) * 255).astype(np.uint8), (15, 15), 5
+        )
+        p = str(tmp_path / f"cam{i}.jpg")
+        cv2.imwrite(p, img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 98])
+        paths.append(p)
+
+    sample = {
+        "image_paths": paths,
+        "lidar2img": np.stack([np.eye(4, dtype=np.float32)] * 3),
+        "gt_bboxes": np.zeros((4, 9), np.float32),
+        "gt_labels": np.zeros((4,), np.int32),
+        "gt_valid": np.zeros((4,), np.float32),
+    }
+
+    class Aug:
+        photometric = False
+        ida_aug = True
+        rot_aug = False
+        resize_scales = None
+
+    kw = dict(
+        final_hw=(64, 128), training=True, src_hw=(128, 256), aug=Aug()
+    )
+    b_py = build_batch([sample], rng=np.random.RandomState(11), **kw)
+    b_nat = build_batch(
+        [sample], rng=np.random.RandomState(11), use_native=True, **kw
+    )
+    assert b_nat["images"].shape == b_py["images"].shape
+    d = np.abs(b_nat["images"] - b_py["images"])
+    # boundary convention: where the train crop overruns the resized
+    # image by the 1px int() rounding, python (like the reference's PIL
+    # crop) pads zeros while the C++ direct-sampler clamps to the edge
+    # row — tolerate that sliver, require the interior to match
+    assert float(np.median(d)) < 0.02, float(np.median(d))
+    assert float((d > 0.5).mean()) < 0.03, float((d > 0.5).mean())
+    np.testing.assert_allclose(
+        b_nat["lidar2img"], b_py["lidar2img"], rtol=1e-5
+    )
+
+    # photometric ON: jitter runs post-resize on the fused output
+    Aug.photometric = True
+    b_ph = build_batch(
+        [sample], rng=np.random.RandomState(11), use_native=True, **kw
+    )
+    assert b_ph["images"].shape == b_py["images"].shape
+    assert np.isfinite(b_ph["images"]).all()
+    # jitter actually fired (differs from the un-jittered batch)
+    assert float(np.abs(b_ph["images"] - b_nat["images"]).mean()) > 1e-3
+
+    # multi-scale fallback: resize_scales forces the python branch —
+    # must not crash and must keep the static output shape
+    Aug.photometric = False
+    Aug.resize_scales = ((96, 192),)
+    b_ms = build_batch(
+        [sample], rng=np.random.RandomState(11), use_native=True, **kw
+    )
+    assert b_ms["images"].shape == b_py["images"].shape
+
+
 def test_native_loader_corrupt_files_fail_cleanly(tmp_path):
     """Corrupt inputs must surface as RuntimeError, never kill the
     process: a truncated file, a non-JPEG, and — the dangerous one — a

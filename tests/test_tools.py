@@ -366,14 +366,10 @@ def test_eval_cli_petrv2_nuscenes_temporal(tmp_path):
     assert len(results) == 2
 
 
-def test_parity_run_dry_run(tmp_path):
-    """tools/parity_run.py end-to-end on synthetic assets: a tiny
-    exported .pth -> convert -> tools/test.py eval over a nuScenes-style
-    fixture -> baseline comparison JSON. Proves the one-command parity
-    harness before real checkpoints/data exist."""
-    import json
+def _parity_fixture(tmp_path):
+    """Synthetic nuScenes-style infos pkl + tiny reference-layout .pth
+    for the parity_run dry-run tests. Returns (ann_path, pth_path)."""
     import pickle
-    import subprocess
 
     import torch
     from PIL import Image
@@ -455,7 +451,18 @@ def test_parity_run_dry_run(tmp_path):
         {"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
         pth,
     )
+    return ann, pth
 
+
+def test_parity_run_dry_run(tmp_path):
+    """tools/parity_run.py end-to-end on synthetic assets: a tiny
+    exported .pth -> convert -> tools/test.py eval over a nuScenes-style
+    fixture -> baseline comparison JSON. Proves the one-command parity
+    harness before real checkpoints/data exist."""
+    import json
+    import subprocess
+
+    ann, pth = _parity_fixture(tmp_path)
     env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [
@@ -481,3 +488,129 @@ def test_parity_run_dry_run(tmp_path):
     verdict = json.loads(r.stdout.strip().splitlines()[-1])
     assert {"mAP", "NDS", "delta_mAP", "delta_NDS"} <= set(verdict)
     assert verdict["delta_mAP"] == verdict["mAP"]  # baseline 0
+
+
+def test_parity_run_dry_run_tta(tmp_path):
+    """The flagship parity target is a *testaug* config: --tta-resizes
+    must ride through parity_run into tools/test.py's aug_forward
+    feature-averaging path (ref models/detectors/detr3d.py:191-216), so
+    the one-command parity measures the protocol the config names."""
+    import json
+    import subprocess
+
+    ann, pth = _parity_fixture(tmp_path)
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(__file__), "..", "tools", "parity_run.py"
+            ),
+            "--pth", pth,
+            "--ann-file", ann,
+            "--tiny",
+            "--max-samples", "1",
+            "--tta-resizes", "1.0,0.9",
+            "--work-dir", str(tmp_path / "wd"),
+            "--baseline-map", "0.0",
+            "--baseline-nds", "0.0",
+            "--extra-test-args=--no-temporal",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    # the eval command parity_run launched must carry the flag through
+    assert "--tta-resizes 1.0,0.9" in r.stdout, r.stdout[-1500:]
+    verdict = json.loads(r.stdout.strip().splitlines()[-1])
+    assert {"mAP", "NDS", "delta_mAP", "delta_NDS"} <= set(verdict)
+
+
+def _tools(name):
+    return os.path.join(os.path.dirname(__file__), "..", "tools", name)
+
+
+def test_cli_chain_train_checkpoint_test(tmp_path):
+    """The reference's canonical loop — `tools/train.py CFG` then
+    `tools/test.py CFG CKPT --eval bbox` (ref tools/train.py:246,
+    tools/test.py:195-243) — rehearsed through the ACTUAL CLIs: train a
+    tiny config a few synthetic steps to an orbax checkpoint, then load
+    that checkpoint through tools/test.py to metrics. Exercises the
+    integration seam the unit tests skip: param-tree layout, checkpoint
+    dir contract (work_dir/checkpoints), config plumbing."""
+    import json
+    import subprocess
+
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    wd = str(tmp_path / "wd")
+    r = subprocess.run(
+        [
+            sys.executable, _tools("train.py"),
+            "--tiny", "--synthetic",
+            "--total-steps", "3",
+            "--work-dir", wd,
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    ckpt = os.path.join(wd, "checkpoints")
+    # the trainer's final save must leave a restorable step
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), ckpt
+
+    out_json = str(tmp_path / "results.json")
+    r2 = subprocess.run(
+        [
+            sys.executable, _tools("test.py"),
+            "--tiny", "--synthetic",
+            "--checkpoint", ckpt,
+            "--max-samples", "2",
+            "--work-dir", str(tmp_path / "wd_eval"),
+            "--out", out_json,
+        ],
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r2.returncode == 0, (r2.stdout[-1500:], r2.stderr[-1500:])
+    # the load must actually happen (silent params=None would skip this)
+    assert "loaded weights from" in r2.stdout, r2.stdout[-1500:]
+    with open(out_json) as f:
+        payload = json.load(f)
+    assert len(payload["results"]) == 2
+    assert "mAP" in payload["metrics"]
+
+
+def test_cli_chain_distill_train_to_distill_test(tmp_path):
+    """Same seam for the distillation mode (ref
+    apis/mmdet_distill_train.py:37-174 then tools/test.py on the
+    student): distill_train saves student weights to
+    work_dir/checkpoints; distill_test must load them and evaluate."""
+    import subprocess
+
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    wd = str(tmp_path / "wd")
+    r = subprocess.run(
+        [
+            sys.executable, _tools("distill_train.py"),
+            "--tiny", "--synthetic",
+            "--steps", "2",
+            "--work-dir", wd,
+        ],
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    ckpt = os.path.join(wd, "checkpoints")
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), ckpt
+
+    r2 = subprocess.run(
+        [
+            sys.executable, _tools("distill_test.py"),
+            "--tiny",
+            "--checkpoint", ckpt,
+            "--max-samples", "2",
+        ],
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r2.returncode == 0, (r2.stdout[-1500:], r2.stderr[-1500:])
+    assert "loaded student weights from" in r2.stdout, r2.stdout[-1500:]
+    assert "mAP" in r2.stdout

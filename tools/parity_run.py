@@ -70,6 +70,15 @@ def parse_args():
     )
     p.add_argument("--require-parity", action="store_true")
     p.add_argument(
+        "--tta-resizes",
+        default=None,
+        help="comma-separated resize multipliers for test-time aug "
+        "feature averaging (tools/test.py --tta-resizes). The flagship "
+        "parity target detr4d_res50_deform_pe_*testaug* is a test-aug "
+        "protocol (ref models/detectors/detr3d.py:191-216 aug_test): "
+        "pass e.g. 1.0,0.9,1.1 to measure the protocol the config names",
+    )
+    p.add_argument(
         "--extra-test-args",
         nargs="*",
         default=None,
@@ -98,6 +107,9 @@ def main():
         assert args.config, "--config or --tiny required"
         cfg = get_config(args.config, overrides=args.cfg_options)
         cfg_name = args.config
+    from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+    cfg = apply_env_kernel_overrides(cfg)
     layers = args.num_decoder_layers or cfg.head.num_decoder_layers
 
     # ---- 1. convert the torch checkpoint
@@ -143,6 +155,15 @@ def main():
             cmd += ["--cfg-options", *args.cfg_options]
     if args.max_samples is not None:
         cmd += ["--max-samples", str(args.max_samples)]
+    if args.tta_resizes:
+        cmd += ["--tta-resizes", args.tta_resizes]
+    elif "testaug" in cfg_name:
+        print(
+            "[parity] WARNING: config name says testaug but no "
+            "--tta-resizes given — evaluating single-pass, which is NOT "
+            "the protocol the config names",
+            flush=True,
+        )
     if args.extra_test_args:
         cmd += args.extra_test_args
     print(f"[parity] eval: {' '.join(cmd)}", flush=True)

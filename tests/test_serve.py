@@ -330,3 +330,86 @@ def test_serve_streaming(streaming_artifact_dir, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+@pytest.fixture(scope="module")
+def uint8_artifact_dir(tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("serve_u8") / "export")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "export_model.py"),
+            "--tiny",
+            "--uint8-input",
+            "--platforms",
+            "cpu",
+            "--out",
+            out_dir,
+        ],
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return out_dir
+
+
+def test_serve_uint8_artifact(uint8_artifact_dir, tmp_path):
+    """uint8-ingest serving (export_model.py --uint8-input): raw pixels
+    arrive, the artifact normalizes on device (ModelConfig.
+    device_normalize) — 4x smaller request payload/h2d than f32. The
+    server must warm up and decode requests with the manifest's dtype,
+    and the bench client must generate uint8 payloads (and its
+    --concurrency pipelining must hold the same contract)."""
+    with open(os.path.join(uint8_artifact_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["inputs"]["images"][1] == "uint8"
+    assert manifest["img_norm"]["on_device"] is True
+
+    proc, url = _start_server(uint8_artifact_dir, tmp_path)
+    try:
+        B, N = manifest["batch_size"], manifest["num_cams"]
+        H, W = manifest["img_size"]
+        rng = np.random.RandomState(0)
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            images=rng.randint(0, 256, (B, N, H, W, 3), np.uint8),
+            lidar2img=np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+        )
+        req = urllib.request.Request(
+            url + "/infer", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            resp = json.load(r)
+        assert len(resp["detections"]) == B
+
+        # bench client: uint8 payload generation + concurrency pipelining
+        rb = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(TOOLS, "serve.py"),
+                "--bench",
+                url,
+                "--requests",
+                "4",
+                "--concurrency",
+                "2",
+            ],
+            env=ENV,
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        assert rb.returncode == 0, rb.stderr[-2000:]
+        stats = json.loads(rb.stdout.strip().splitlines()[-1])
+        assert stats["requests"] == 4
+        assert stats["concurrency"] == 2
+        assert stats["p99_ms"] >= stats["p50_ms"] > 0
+        # uint8 payload is ~4x smaller than the f32 equivalent
+        f32_mb = B * N * H * W * 3 * 4 / 1e6
+        assert stats["payload_mb"] < 0.5 * f32_mb
+    finally:
+        proc.kill()
+        proc.wait()

@@ -47,6 +47,13 @@ def parse_args():
         "backbone work (models/detector.py forward_feats)",
     )
     p.add_argument(
+        "--uint8-input",
+        action="store_true",
+        help="artifact ingests RAW uint8 pixels and normalizes on device "
+        "(ModelConfig.device_normalize): 4x smaller request payload and "
+        "host->device transfer than f32 — the production-serving default",
+    )
+    p.add_argument(
         "--no-verify",
         action="store_true",
         help="skip the deserialize+run-and-compare check after export",
@@ -120,7 +127,12 @@ def run_artifact(out_dir):
     N = manifest["num_cams"]
     H, W = manifest["img_size"]
     rng = np.random.RandomState(0)
-    images = rng.randn(B, N, H, W, 3).astype(np.float32)
+    if manifest["inputs"]["images"][1] == "uint8":
+        images = rng.randint(0, 256, (B, N, H, W, 3), np.int64).astype(
+            np.uint8
+        )
+    else:
+        images = rng.randn(B, N, H, W, 3).astype(np.float32)
     l2i = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
     extras = [
         synth_extra(name, shape)
@@ -211,6 +223,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, head=dataclasses.replace(cfg.head, batch_chunk=1)
         )
+    if args.uint8_input:
+        # raw-pixel ingest: synthetic_batch emits uint8 and the model
+        # normalizes in fp32 on device (models/detector.py extract_feats)
+        cfg = dataclasses.replace(cfg, device_normalize=True)
 
     model = GraphDETR4D(cfg)
     batch = synthetic_batch(cfg, batch_size=args.batch_size)
@@ -280,13 +296,16 @@ def main():
         # — for streaming heads, after lidar2img and before the features
         "extras": [name for name, _ in extras_spec],
         "outputs": ["bboxes", "scores", "labels", "valid"],
-        # client-side preprocessing contract: images must arrive
-        # normalized as (raw - mean) / std in this channel order
-        # (bgr=True means the model consumes BGR — petr/petrv2 families)
+        # preprocessing contract: with on_device=False images must
+        # arrive normalized as (raw - mean) / std; with on_device=True
+        # (--uint8-input) raw pixels arrive and the artifact normalizes
+        # (bgr=True means the model consumes BGR — petr/petrv2 families;
+        # the client still supplies that channel order either way)
         "img_norm": {
             "mean": list(cfg.img_mean),
             "std": list(cfg.img_std),
             "bgr": cfg.img_bgr,
+            "on_device": cfg.device_normalize,
         },
     }
 

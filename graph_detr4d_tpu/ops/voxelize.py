@@ -76,9 +76,15 @@ def pillar_center_offsets(
     pc_range: Sequence[float],
     grid_hw: Tuple[int, int],
 ) -> jnp.ndarray:
-    """PointPillars-style augmentation: offset of each point from its
-    pillar's geometric center (x, y) and from the pillar points' mean xyz.
-    Returns (P, 5 + F_extra) augmented features: [xyz..., dx_c, dy_c]."""
+    """PointPillars PFN feature augmentation (PillarFeatureNet's
+    `_with_cluster_center` + `_with_voxel_center`): offset of each point
+    from its pillar's geometric center (dx_c, dy_c) AND from the mean
+    xyz of the points sharing its pillar (dx_m, dy_m, dz_m — the
+    "cluster" features). The cluster mean is a dense segment-mean over
+    the BEV cells followed by a gather back to points — the same sorted
+    scatter XLA uses for pillar_scatter, no dynamic voxel lists.
+    Returns (P, F + 5) augmented features:
+    [points..., dx_c, dy_c, dx_m, dy_m, dz_m]."""
     H, W = grid_hw
     sx = (pc_range[3] - pc_range[0]) / H
     sy = (pc_range[4] - pc_range[1]) / W
@@ -88,6 +94,16 @@ def pillar_center_offsets(
     cy = pc_range[1] + (iy.astype(jnp.float32) + 0.5) * sy
     dxc = points[..., 0] - cx
     dyc = points[..., 1] - cy
+    # cluster mean: per-cell mean xyz (trash cell H*W absorbs invalid
+    # points so they contribute nothing to real pillars)
+    n = H * W + 1
+    xyz = points[..., :3]
+    s = jax.ops.segment_sum(xyz, cell_ids, num_segments=n)
+    c = jax.ops.segment_sum(
+        jnp.ones((xyz.shape[0], 1), xyz.dtype), cell_ids, num_segments=n
+    )
+    mean = s / jnp.maximum(c, 1.0)
+    dm = xyz - mean[cell_ids]
     return jnp.concatenate(
-        [points, dxc[..., None], dyc[..., None]], axis=-1
+        [points, dxc[..., None], dyc[..., None], dm], axis=-1
     )

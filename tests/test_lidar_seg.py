@@ -9,6 +9,7 @@ import pytest
 
 from graph_detr4d_tpu.config import HeadConfig
 from graph_detr4d_tpu.ops.voxelize import (
+    pillar_center_offsets,
     pillar_indices,
     pillar_scatter,
 )
@@ -88,6 +89,39 @@ def test_pillar_scatter_mean_matches_numpy():
         if len(sel):
             want[cell] = sel.mean(0)
     np.testing.assert_allclose(np.asarray(got).reshape(H * W, C), want, atol=1e-5)
+
+
+def test_pillar_center_offsets_cluster_features():
+    """PFN augmentation parity (PillarFeatureNet _with_cluster_center +
+    _with_voxel_center): [points..., dx_c, dy_c, dx_m, dy_m, dz_m] where
+    the cluster offsets subtract the mean xyz of the points sharing the
+    pillar — verified against a per-cell numpy oracle. Invalid points go
+    to the trash cell and must not shift any real pillar's mean."""
+    P, F = 48, 4  # xyz + intensity
+    H = W = 8
+    pts = RNG.randn(P, F).astype(np.float32) * 20.0
+    mask = (RNG.rand(P) > 0.2).astype(np.float32)
+    ids, _ = pillar_indices(jnp.asarray(pts), jnp.asarray(mask), PC, (H, W))
+    aug = pillar_center_offsets(jnp.asarray(pts), ids, PC, (H, W))
+    assert aug.shape == (P, F + 5)
+    got = np.asarray(aug)
+    np.testing.assert_allclose(got[:, :F], pts, atol=1e-6)
+
+    ids_np = np.asarray(ids)
+    sx = (PC[3] - PC[0]) / H
+    sy = (PC[4] - PC[1]) / W
+    for p in range(P):
+        cell = ids_np[p]
+        # geometric pillar-center offsets (also defined for trash points)
+        cx = PC[0] + (cell // W + 0.5) * sx
+        cy = PC[1] + (cell % W + 0.5) * sy
+        np.testing.assert_allclose(got[p, F], pts[p, 0] - cx, atol=1e-4)
+        np.testing.assert_allclose(got[p, F + 1], pts[p, 1] - cy, atol=1e-4)
+        # cluster-mean offsets vs the numpy per-cell mean
+        sel = pts[ids_np == cell, :3]
+        np.testing.assert_allclose(
+            got[p, F + 2 :], pts[p, :3] - sel.mean(0), atol=1e-4
+        )
 
 
 # ------------------------------------------------------------------ dgcnn

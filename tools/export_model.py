@@ -384,33 +384,117 @@ def main():
         manifest["size_bytes"] = len(enc_blob) + len(head_blob)
 
         # verify BEFORE any file lands on disk, so a failed check never
-        # leaves a complete-looking broken artifact behind
+        # leaves a complete-looking broken artifact behind. Two separate
+        # claims, checked separately:
+        # 1) serialization fidelity: the deserialized programs equal a
+        #    direct jit of the same functions (tight tol);
+        # 2) composition semantics: encode-halves + head equals the
+        #    monolithic forward in RAW head-output space. Raw space, not
+        #    decoded detections: decode ends in a top-k, and with bf16
+        #    the conv batch-fold differs between the paths (nf vs 2*nf),
+        #    so near-tied scores can flip ranks and reorder the top-k —
+        #    an elementwise compare of decoded rows then reports huge
+        #    mismatches that are pure reordering (seen on TPU at
+        #    640x1600; decode exactness itself is golden-locked in
+        #    tests/test_coder.py).
         if not args.no_verify:
             e2 = export.deserialize(enc_blob)
             h2 = export.deserialize(head_blob)
             cur = e2.call(imgs[:, :nf])
             prev = e2.call(imgs[:, nf:])
+            cur_direct = jax.jit(encode)(imgs[:, :nf])
+            for k in feat_keys:
+                np.testing.assert_allclose(
+                    np.asarray(cur[k], np.float32),
+                    np.asarray(cur_direct[k], np.float32),
+                    rtol=1e-5,
+                    atol=1e-5,
+                    err_msg=f"encode artifact fidelity: {k}",
+                )
             got = h2.call(
                 l2i,
                 *extras_jnp,
                 *[cur[k] for k in feat_keys],
                 *[prev[k] for k in feat_keys],
             )
-            want = jax.jit(infer)(imgs, l2i, *extras_jnp)
-            # conv batch-fold size differs (nf vs 2*nf), so scheduling
-            # float noise is expected; bf16 models see more of it
-            tol = 5e-2 if cfg.bf16 else 1e-4
-            for k in want:
+            got_direct = jax.jit(head_infer)(
+                l2i,
+                *extras_jnp,
+                *[cur[k] for k in feat_keys],
+                *[prev[k] for k in feat_keys],
+            )
+            for k in got:
                 np.testing.assert_allclose(
                     np.asarray(got[k], np.float32),
-                    np.asarray(want[k], np.float32),
-                    rtol=tol,
-                    atol=tol,
-                    err_msg=k,
+                    np.asarray(got_direct[k], np.float32),
+                    rtol=1e-5,
+                    atol=1e-5,
+                    err_msg=f"head artifact fidelity: {k}",
                 )
+
+            def raw_stream(images):
+                feats = model.apply(
+                    variables,
+                    images[:, :nf],
+                    False,
+                    None,
+                    method=GraphDETR4D.extract_feats,
+                )
+                feats_prev = model.apply(
+                    variables,
+                    images[:, nf:],
+                    False,
+                    None,
+                    method=GraphDETR4D.extract_feats,
+                )
+                merged = [
+                    jnp.concatenate([c, p], axis=1)
+                    for c, p in zip(feats, feats_prev)
+                ]
+                kw = {
+                    name: v
+                    for (name, _), v in zip(extras_spec, extras_jnp)
+                }
+                return model.apply(
+                    variables,
+                    merged,
+                    l2i,
+                    method=GraphDETR4D.forward_feats,
+                    **kw,
+                )
+
+            def raw_mono(images):
+                kw = {
+                    name: v
+                    for (name, _), v in zip(extras_spec, extras_jnp)
+                }
+                return model.apply(variables, images, l2i, **kw)
+
+            rs = jax.jit(raw_stream)(imgs)
+            rm = jax.jit(raw_mono)(imgs)
+            tol = 5e-2 if cfg.bf16 else 1e-4
+            np.testing.assert_allclose(
+                jax.nn.sigmoid(
+                    np.asarray(rs["all_cls_scores"][-1], np.float32)
+                ),
+                jax.nn.sigmoid(
+                    np.asarray(rm["all_cls_scores"][-1], np.float32)
+                ),
+                rtol=tol,
+                atol=tol,
+                err_msg="composition: final-layer scores",
+            )
+            np.testing.assert_allclose(
+                np.asarray(rs["all_bbox_preds"][-1], np.float32),
+                np.asarray(rm["all_bbox_preds"][-1], np.float32),
+                rtol=tol,
+                atol=tol,
+                err_msg="composition: final-layer boxes",
+            )
             print(
-                "verify: streaming encode+head composition matches "
-                "monolithic inference"
+                "verify: artifacts match direct jit; streaming "
+                "encode+head composition matches monolithic forward "
+                "(raw head outputs)"
             )
 
         with open(os.path.join(args.out, "encode.jaxexport"), "wb") as f:

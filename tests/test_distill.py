@@ -214,3 +214,32 @@ def test_mix_distill_guided_decode():
     flat = jax.tree_util.tree_leaves(dv)
     dv2 = dist.init({"params": jax.random.PRNGKey(1)}, imgs, l2i)
     assert len(flat) == len(jax.tree_util.tree_leaves(dv2))
+
+
+def test_teacher_split_forward_matches_full_apply():
+    """The distill CLIs run the teacher as extract_feats + forward_feats
+    (ONE backbone pass; tools/distill_train.py) instead of a full
+    __call__ next to a separate extract_feats — the split must be
+    semantically identical to the monolithic forward."""
+    model = GraphDETR4D(CFG)
+    batch = synthetic_batch(CFG, batch_size=1, seed=3)
+    imgs = jnp.asarray(batch["images"])
+    l2i = jnp.asarray(batch["lidar2img"])
+    vs = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+
+    full = jax.jit(lambda v: model.apply(v, imgs, l2i))(vs)
+
+    def split(v):
+        feats = model.apply(
+            v, imgs, False, None, method=GraphDETR4D.extract_feats
+        )
+        feats = [jax.lax.stop_gradient(f) for f in feats]
+        return model.apply(
+            v, feats, l2i, method=GraphDETR4D.forward_feats
+        )
+
+    got = jax.jit(split)(vs)
+    for k in ("all_cls_scores", "all_bbox_preds"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(full[k]), rtol=1e-5, atol=1e-5
+        )

@@ -129,10 +129,18 @@ def main():
     def train_step(params, opt_state, batch, rng):
         imgs = batch["images"]
         l2i = batch["lidar2img"]
+        # one teacher backbone pass: extract once, head on the features
+        # (a second full teacher.apply would re-run the conv stack —
+        # XLA does not reliably CSE it across the remat'd scopes, which
+        # doubles the teacher's live activations on top of the student's
+        # forward+backward)
         t_feats = teacher.apply(
             tvars, imgs, False, None, method=GraphDETR4D.extract_feats
         )
-        t_outs = teacher.apply(tvars, imgs, l2i)
+        t_feats = [jax.lax.stop_gradient(f) for f in t_feats]
+        t_outs = teacher.apply(
+            tvars, t_feats, l2i, method=GraphDETR4D.forward_feats
+        )
 
         def loss_fn(p):
             variables = {**dvars, "params": p}
@@ -149,7 +157,7 @@ def main():
                 s_outs,
                 adapted,
                 t_outs,
-                [jax.lax.stop_gradient(f) for f in t_feats],
+                t_feats,
                 batch["gt_bboxes"],
                 batch["gt_labels"],
                 batch["gt_valid"],

@@ -97,10 +97,17 @@ def main():
 
         @jax.jit
         def step(params, opt_state):
+            # one teacher backbone pass (same structure as
+            # tools/distill_train.py): extract once, head on the
+            # features — a second full apply doubles the teacher's live
+            # activations when XLA misses the CSE across remat scopes
             t_feats = teacher.apply(
                 tvars, imgs, False, None, method=GraphDETR4D.extract_feats
             )
-            t_outs = teacher.apply(tvars, imgs, l2i)
+            t_feats = [jax.lax.stop_gradient(f) for f in t_feats]
+            t_outs = teacher.apply(
+                tvars, t_feats, l2i, method=GraphDETR4D.forward_feats
+            )
 
             def loss_fn(p):
                 variables = {**dvars, "params": p}
@@ -117,7 +124,7 @@ def main():
                     s_outs,
                     adapted,
                     t_outs,
-                    [jax.lax.stop_gradient(f) for f in t_feats],
+                    t_feats,
                     batch["gt_bboxes"],
                     batch["gt_labels"],
                     batch["gt_valid"],

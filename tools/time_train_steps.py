@@ -33,6 +33,14 @@ def parse_args():
     p.add_argument(
         "--cfg-options", nargs="*", default=["backbone.remat=true", "head.cam_capacity=0.5"]
     )
+    p.add_argument(
+        "--memory-analysis",
+        action="store_true",
+        help="compile the step and print XLA's HBM breakdown WITHOUT "
+        "executing — safe on a worker that an OOM would crash (the "
+        "axon worker dies with a kernel fault instead of a clean OOM, "
+        "degrading the tunnel; see CLAUDE.md postmortems)",
+    )
     return p.parse_args()
 
 
@@ -64,7 +72,13 @@ def main():
         from graph_detr4d_tpu.distill import Distiller, DistillConfig, distill_loss
 
         bundle = get_distill_config(args.distill_config)
-        t_cfg, s_cfg = bundle.teacher, bundle.student
+        from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+        # CLI-layer kernel-variant overrides (GRD4D_MSDA_IMPL /
+        # GRD4D_DCN_GATHER / GRD4D_MSDA_LATEPROJ) apply to BOTH models —
+        # the same A/B instrument the flagship branch has
+        t_cfg = apply_env_kernel_overrides(bundle.teacher)
+        s_cfg = apply_env_kernel_overrides(bundle.student)
         dcfg = DistillConfig(
             use_instance_distill=bundle.distill_cls or bundle.distill_reg,
             cls_distill_weight=1.0 if bundle.distill_cls else 0.0,
@@ -140,6 +154,9 @@ def main():
 
         params = dvars["params"]
         tag = f"distill[{args.distill_config}] top_k={args.teacher_top_k}"
+
+        def lower_step():
+            return step.lower(params, opt_state)
     else:
         from graph_detr4d_tpu.parallel.step import build_train_step, init_state
 
@@ -165,6 +182,31 @@ def main():
 
         params = opt_state = None
         tag = f"train[{args.config}] bs={args.batch_size}"
+
+        def lower_step():
+            return train_step.lower(tstate, batch, rng)
+
+    if args.memory_analysis:
+        compiled = lower_step().compile()
+        ma = compiled.memory_analysis()
+        out = {"what": f"memory[{tag}]"}
+        for k in (
+            "temp_size_in_bytes",
+            "argument_size_in_bytes",
+            "output_size_in_bytes",
+            "alias_size_in_bytes",
+            "generated_code_size_in_bytes",
+        ):
+            v = getattr(ma, k, None)
+            if v is not None:
+                out[k.replace("_in_bytes", "_gb")] = round(v / 2**30, 3)
+        # peak live = args + temps (outputs alias args where donated)
+        if "temp_size_gb" in out and "argument_size_gb" in out:
+            out["peak_gb_approx"] = round(
+                out["temp_size_gb"] + out["argument_size_gb"], 3
+            )
+        print(json.dumps(out), flush=True)
+        return
 
     # compile + warm: 2 steps, force with host fetch of the loss
     params, opt_state, loss = step(params, opt_state)

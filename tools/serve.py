@@ -112,8 +112,11 @@ class Engine:
         from graph_detr4d_tpu.utils.platform import apply_platform_override
 
         apply_platform_override()
+        import jax
         import numpy as np
         from jax import export
+
+        self._jax = jax
 
         with open(os.path.join(artifact_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -169,8 +172,15 @@ class Engine:
                 warm_extras,
             )
 
+    def _put(self, *arrays):
+        """Start the host->device transfers OUTSIDE the device lock:
+        request B's h2d (the dominant cost on a remote-attached chip —
+        PROFILE.md serving table) overlaps request A's locked compute."""
+        return [self._jax.device_put(a) for a in arrays]
+
     def infer(self, images, lidar2img, extras=()):
         np = self._np
+        images, lidar2img, *extras = self._put(images, lidar2img, *extras)
         if self.streaming:
             # monolithic request against a streaming artifact: encode
             # both frame halves, no cache involvement
@@ -201,6 +211,7 @@ class Engine:
         first request of a stream the new frame doubles as the sweep
         (same behavior as the data loader when no sweeps exist)."""
         np = self._np
+        images, lidar2img, *extras = self._put(images, lidar2img, *extras)
         keys = self.streaming["feat_keys"]
         with self._lock:
             cur = self.encode.call(images)

@@ -552,13 +552,39 @@ def list_distill_configs():
     return sorted(_DISTILL)
 
 
+def _pin_distill_safe_msda(cfg: ModelConfig) -> ModelConfig:
+    """Pin the MSDA sampling layout to the pure-gather 'gather4' variant
+    for BOTH models of a distill bundle.
+
+    Measured on the real chip (2026-08-20, tools/time_train_steps.py,
+    mixdistill_r50_r18 at 320x800): the default one-hot MXU small-level
+    path crashes the TPU worker with a kernel fault inside the DISTILL
+    program (teacher + student + mix double-decode = up to 72 one-hot
+    instances), while the same program with 'gather4' runs at 1030.2
+    ms/step (top_k=32) / 1045.2 ms/step (top_k=64). XLA memory analysis
+    rules out OOM — the crashing one-hot build peaks at 3.4 GB HBM vs
+    gather4's 12.6 GB — so this is an execution-level fault specific to
+    the one-hot composition at distill scale. Single-model train/inference
+    programs keep the faster one-hot default; GRD4D_MSDA_IMPL still
+    overrides at the CLI layer for A/B.
+    """
+    return dataclasses.replace(
+        cfg, head=dataclasses.replace(cfg.head, msda_impl="gather4")
+    )
+
+
 def get_distill_config(name: str) -> DistillBundle:
     if name not in _DISTILL:
         raise KeyError(
             f"unknown distill config {name!r}; available: "
             f"{', '.join(list_distill_configs())}"
         )
-    return _DISTILL[name]()
+    b = _DISTILL[name]()
+    return dataclasses.replace(
+        b,
+        teacher=_pin_distill_safe_msda(b.teacher),
+        student=_pin_distill_safe_msda(b.student),
+    )
 
 
 def _r50_r18(**kw):

@@ -30,6 +30,17 @@ def test_all_distill_configs_construct():
         assert b.teacher.head.embed_dims >= b.student.head.embed_dims or True
 
 
+def test_distill_configs_pin_safe_msda():
+    """Every distill bundle must pin both models to the pure-gather MSDA
+    layout: the one-hot small-level path kernel-faults the TPU worker
+    inside distill-scale programs (PROFILE.md round 4; measured
+    2026-08-20)."""
+    for n in list_distill_configs():
+        b = get_distill_config(n)
+        assert b.teacher.head.msda_impl == "gather4", n
+        assert b.student.head.msda_impl == "gather4", n
+
+
 def test_overrides():
     cfg = get_config(
         "detr4d_res50_deform_pe_testaug_2subset_12e",

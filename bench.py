@@ -77,11 +77,9 @@ def main():
     jax.devices()
     discovered.set()
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    from graph_detr4d_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from graph_detr4d_tpu.config import ModelConfig, BackboneConfig, HeadConfig

@@ -139,10 +139,15 @@ def apply_env_kernel_overrides(cfg):
     if v:
         ovs.append(f"head.msda_impl={v}")
     v = os.environ.get("GRD4D_MSDA_LATEPROJ")
-    if v is not None:
-        ovs.append(
-            "head.msda_late_proj=" + ("true" if v == "1" else "false")
-        )
+    if v:  # empty string = unset, like the sibling knobs
+        truthy = v.strip().lower() in ("1", "true", "yes", "on")
+        falsy = v.strip().lower() in ("0", "false", "no", "off")
+        if not (truthy or falsy):
+            raise ValueError(
+                f"GRD4D_MSDA_LATEPROJ={v!r}: expected a boolean "
+                "(1/0/true/false/yes/no/on/off)"
+            )
+        ovs.append("head.msda_late_proj=" + ("true" if truthy else "false"))
     return apply_overrides(cfg, ovs) if ovs else cfg
 
 

@@ -73,6 +73,8 @@ class Detr3DCrossAtten(nn.Module):
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # MSDA sampling layout (HeadConfig.msda_impl); 'gather4' = pure-gather
+    msda_impl: str = "shift4h"
 
     @nn.compact
     def __call__(
@@ -113,7 +115,9 @@ class Detr3DCrossAtten(nn.Module):
             v = feat.reshape(B * N, h, wd, 1, C)
             ll = loc.reshape(B * N, Q, 1, 1, 1, 2).astype(self.dtype)
             ones = jnp.ones((B * N, Q, 1, 1, 1), self.dtype)
-            s = multi_scale_deformable_attention([v], ll, ones)
+            s = multi_scale_deformable_attention(
+                [v], ll, ones, impl=self.msda_impl
+            )
             samples.append(s.reshape(B, N, Q, C))
         sampled = jnp.stack(samples, axis=-1)  # (B, N, Q, C, L)
         sampled = jnp.nan_to_num(sampled)
@@ -163,6 +167,8 @@ class Deform3DCrossAttnMP(nn.Module):
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # MSDA sampling layout (HeadConfig.msda_impl); 'gather4' = pure-gather
+    msda_impl: str = "shift4h"
 
     @nn.compact
     def __call__(
@@ -252,6 +258,7 @@ class Deform3DCrossAttnMP(nn.Module):
             values,
             loc.astype(self.dtype),
             attn.reshape(B * N, Q, HH, L, P).astype(self.dtype),
+            impl=self.msda_impl,
         ).reshape(B, N, Q, C)
         # reference view-scramble parity: (B, Q, N) reinterpreted as
         # (B, N, Q) by `.view` (multi_point.py:227-228), not transposed
@@ -288,6 +295,7 @@ class Deform3DCrossAttnMP(nn.Module):
             values,
             loc_n.astype(self.dtype),
             attn_n.reshape(B * N, Q * K, HH, L, Pn).astype(self.dtype),
+            impl=self.msda_impl,
         ).reshape(B, N, Q * K, C)
         # same view-scramble on the neighbor gate (multi_point.py:424-425).
         # REFERENCE QUIRK: the neighbor gate is the RAW cam_attention_
@@ -349,6 +357,8 @@ class Detr3DCrossAttenV2(nn.Module):
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # MSDA sampling layout (HeadConfig.msda_impl); 'gather4' = pure-gather
+    msda_impl: str = "shift4h"
 
     @nn.compact
     def __call__(
@@ -441,7 +451,7 @@ class Detr3DCrossAttenV2(nn.Module):
             .astype(self.dtype)
         )
         sampled = multi_scale_deformable_attention(
-            vproj_levels, loc_flat, attn_flat
+            vproj_levels, loc_flat, attn_flat, impl=self.msda_impl
         ).reshape(B, N, Q, C)
         out = sampled.astype(jnp.float32).sum(axis=1)  # (B, Q, C)
 

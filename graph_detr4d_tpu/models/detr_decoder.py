@@ -63,6 +63,7 @@ class Deformable2DCrossAttn(nn.Module):
     num_points: int = 4
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "shift4h"  # MSDA sampling layout (HeadConfig.msda_impl)
 
     @nn.compact
     def __call__(
@@ -123,6 +124,7 @@ class Deformable2DCrossAttn(nn.Module):
             values,
             loc.astype(self.dtype),
             attn.astype(self.dtype),
+            impl=self.msda_impl,
         )  # (B, Q, C)
 
         out = nn.Dense(
@@ -143,6 +145,7 @@ class Deformable3DDetrDecoderLayer(nn.Module):
     ffn_dims: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "shift4h"  # MSDA sampling layout (HeadConfig.msda_impl)
 
     @nn.compact
     def __call__(
@@ -171,6 +174,7 @@ class Deformable3DDetrDecoderLayer(nn.Module):
             num_levels=self.num_levels,
             num_points=self.num_points,
             dropout=self.dropout,
+            msda_impl=self.msda_impl,
             dtype=self.dtype,
             name="cross_attn",
         )(
@@ -201,6 +205,7 @@ class Deformable3DDetrTransformerDecoder(nn.Module):
     dropout: float = 0.1
     return_intermediate: bool = True
     dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "shift4h"  # MSDA sampling layout (HeadConfig.msda_impl)
 
     @nn.compact
     def __call__(
@@ -243,6 +248,7 @@ class Deformable3DDetrTransformerDecoder(nn.Module):
                 num_points=self.num_points,
                 ffn_dims=self.ffn_dims,
                 dropout=self.dropout,
+                msda_impl=self.msda_impl,
                 dtype=self.dtype,
                 name=f"layer{lid}",
             )(

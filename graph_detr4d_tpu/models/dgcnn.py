@@ -111,6 +111,7 @@ class BEVDeformableCrossAttn(nn.Module):
     num_points: int = 4
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "shift4h"  # MSDA sampling layout (HeadConfig.msda_impl)
 
     @nn.compact
     def __call__(
@@ -166,7 +167,10 @@ class BEVDeformableCrossAttn(nn.Module):
             for v in value_levels
         ]
         out = multi_scale_deformable_attention(
-            values, loc.astype(self.dtype), attn.astype(self.dtype)
+            values,
+            loc.astype(self.dtype),
+            attn.astype(self.dtype),
+            impl=self.msda_impl,
         )
         out = nn.Dense(
             C,
@@ -263,6 +267,7 @@ class DGCNN3DHead(nn.Module):
                 num_levels=len(pe_levels),
                 num_points=cfg.num_points,
                 dropout=cfg.dropout,
+                msda_impl=cfg.msda_impl,
                 dtype=self.dtype,
                 name=f"layer{lid}_cross_attn",
             )(query, pe_levels, ref, query_pos, deterministic)

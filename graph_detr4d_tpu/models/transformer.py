@@ -145,6 +145,7 @@ class DecoderLayer(nn.Module):
                 num_neighbors=self.num_neighbors,
                 pc_range=self.pc_range,
                 dropout=self.dropout,
+                msda_impl=self.msda_impl,
                 dtype=self.dtype,
                 name="cross_attn",
             )(
@@ -170,6 +171,7 @@ class DecoderLayer(nn.Module):
                     num_cams=self.num_cams,
                     pc_range=self.pc_range,
                     dropout=self.dropout,
+                    msda_impl=self.msda_impl,
                     dtype=self.dtype,
                     name="cross_attn",
                 )
@@ -182,6 +184,7 @@ class DecoderLayer(nn.Module):
                     num_cams=self.num_cams,
                     pc_range=self.pc_range,
                     dropout=self.dropout,
+                    msda_impl=self.msda_impl,
                     dtype=self.dtype,
                     name="cross_attn",
                 )

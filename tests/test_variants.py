@@ -374,3 +374,96 @@ def test_deformable_detr_decoder_generic():
     outs4, refs4 = m.apply(vs4, q, qp, feats, ref4)
     assert refs4.shape == (2, B, Q, 4)
     assert bool(jnp.isfinite(outs4).all())
+
+
+def test_msda_impl_reaches_every_call_site(monkeypatch):
+    """HeadConfig.msda_impl must reach EVERY multi_scale_deformable_attention
+    call site, not just the flagship Deform3DCrossAttn — the distill
+    gather4 safety pin and any A/B only mean something if the variant
+    heads honor the field too (round-4 review finding)."""
+    import dataclasses
+
+    from graph_detr4d_tpu.config import tiny_test_config
+    from graph_detr4d_tpu.models import GraphDETR4D
+    from graph_detr4d_tpu.data.synthetic import synthetic_batch
+    from graph_detr4d_tpu.ops import msda as msda_mod
+
+    seen = []
+    real = msda_mod.multi_scale_deformable_attention
+
+    def spy(*a, **kw):
+        seen.append(kw.get("impl", a[3] if len(a) > 3 else "shift4h"))
+        return real(*a, **kw)
+
+    # each model module imported the symbol into its own namespace
+    import graph_detr4d_tpu.models.attention as m_attn
+    import graph_detr4d_tpu.models.attention_variants as m_var
+    import graph_detr4d_tpu.models.detr_decoder as m_dec
+    import graph_detr4d_tpu.models.dgcnn as m_dgcnn
+
+    for mod in (m_attn, m_var, m_dec, m_dgcnn):
+        if hasattr(mod, "multi_scale_deformable_attention"):
+            monkeypatch.setattr(
+                mod, "multi_scale_deformable_attention", spy
+            )
+
+    cfg0 = tiny_test_config()
+    for attn_type in ("deform3d", "deform3d_mp", "detr3d", "detr3d_v2"):
+        seen.clear()
+        cfg = dataclasses.replace(
+            cfg0,
+            head=dataclasses.replace(
+                cfg0.head, attn_type=attn_type, msda_impl="gather4"
+            ),
+        )
+        model = GraphDETR4D(cfg)
+        b = synthetic_batch(cfg, batch_size=1)
+        imgs = jnp.asarray(b["images"])
+        l2i = jnp.asarray(b["lidar2img"])
+        model.init({"params": jax.random.PRNGKey(0)}, imgs, l2i)
+        assert seen and all(i == "gather4" for i in seen), (attn_type, seen)
+
+    # the generic 2D deformable decoder (standalone module)
+    from graph_detr4d_tpu.models.detr_decoder import (
+        Deformable3DDetrTransformerDecoder,
+    )
+
+    seen.clear()
+    B, Q, C = 1, 6, 32
+    feats = [
+        jnp.zeros((B, 4, 8, C), jnp.float32),
+        jnp.zeros((B, 2, 4, C), jnp.float32),
+    ]
+    dec = Deformable3DDetrTransformerDecoder(
+        embed_dims=C,
+        num_layers=1,
+        num_heads=4,
+        num_levels=2,
+        num_points=2,
+        msda_impl="gather4",
+    )
+    q = jnp.zeros((B, Q, C), jnp.float32)
+    ref = jnp.full((B, Q, 2), 0.5, jnp.float32)
+    dec.init(jax.random.PRNGKey(0), q, q, feats, ref)
+    assert seen and all(i == "gather4" for i in seen), seen
+
+    # DGCNN3DHead BEV decoder reads cfg.msda_impl
+    from graph_detr4d_tpu.models.dgcnn import DGCNN3DHead
+
+    seen.clear()
+    hcfg = dataclasses.replace(
+        cfg0.head,
+        embed_dims=32,
+        num_query=6,
+        num_heads=4,
+        num_points=2,
+        num_decoder_layers=1,
+        msda_impl="gather4",
+    )
+    head = DGCNN3DHead(cfg=hcfg, knn_k=2)
+    bev = [
+        jnp.zeros((1, 8, 8, 32), jnp.float32),
+        jnp.zeros((1, 4, 4, 32), jnp.float32),
+    ]
+    head.init(jax.random.PRNGKey(0), bev)
+    assert seen and all(i == "gather4" for i in seen), seen

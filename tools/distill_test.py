@@ -34,10 +34,9 @@ def main():
 
     apply_platform_override()
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-    )
+    from graph_detr4d_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -49,7 +48,9 @@ def main():
     from graph_detr4d_tpu.eval import DetectionEvaluator
     from graph_detr4d_tpu.data.synthetic import synthetic_batch
 
-    s_cfg = (
+    from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+    s_cfg = apply_env_kernel_overrides(
         tiny_test_config()
         if args.tiny
         else get_distill_config(args.config).student

@@ -52,10 +52,9 @@ def main():
 
     apply_platform_override()
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-    )
+    from graph_detr4d_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     import dataclasses
     import json
     import time
@@ -72,12 +71,18 @@ def main():
     from graph_detr4d_tpu.train.checkpoint import CheckpointManager
     from graph_detr4d_tpu.train.optim import build_optimizer
 
+    from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
     if args.tiny:
         t_cfg = s_cfg = tiny_test_config()
         bundle = DistillBundle(teacher=t_cfg, student=s_cfg, mix=True)
     else:
         bundle = get_distill_config(args.config)
         t_cfg, s_cfg = bundle.teacher, bundle.student
+    # CLI-layer kernel-variant overrides apply to BOTH models (e.g.
+    # GRD4D_MSDA_IMPL can lift the bundle's gather4 safety pin for A/B)
+    t_cfg = apply_env_kernel_overrides(t_cfg)
+    s_cfg = apply_env_kernel_overrides(s_cfg)
 
     dcfg = DistillConfig(
         use_instance_distill=bundle.distill_cls or bundle.distill_reg,

@@ -300,7 +300,25 @@ def make_handler(engine):
                 img_dtype = np.dtype(
                     engine.manifest["inputs"]["images"][1]
                 )
-                images = np.asarray(data["images"], img_dtype)
+                sent = np.asarray(data["images"])
+                # a silent cast across float<->integer kinds would wrap/
+                # truncate normalized pixels into garbage detections with
+                # HTTP 200 — reject the contract mismatch instead
+                if sent.dtype.kind != img_dtype.kind:
+                    self._send(
+                        400,
+                        {
+                            "error": (
+                                f"images dtype {sent.dtype.name} does not "
+                                f"match this artifact's input dtype "
+                                f"{img_dtype.name} (uint8-ingest artifacts "
+                                "take RAW pixels 0-255; float artifacts "
+                                "take normalized pixels — see /manifest)"
+                            )
+                        },
+                    )
+                    return
+                images = sent.astype(img_dtype, copy=False)
                 l2i = np.asarray(data["lidar2img"], np.float32)
                 want_i = tuple(engine.manifest["inputs"]["images"][0])
                 if route == "/infer_stream":
@@ -454,9 +472,11 @@ def run_bench(args):
                     range(args.requests),
                 )
             )
+        payload_bytes = len(bodies[0])
     else:
         body = make_body(rng)
         lat = [one(body) for _ in range(args.requests)]
+        payload_bytes = len(body)
     wall = time.perf_counter() - wall0
     lat_ms = sorted(x * 1e3 for x in lat)
     n = len(lat_ms)
@@ -470,7 +490,7 @@ def run_bench(args):
                 "requests": n,
                 "route": route.split("?")[0],
                 "concurrency": args.concurrency,
-                "payload_mb": round(len(make_body(rng)) / 1e6, 1),
+                "payload_mb": round(payload_bytes / 1e6, 1),
                 "p50_ms": pct(0.50),
                 "p90_ms": pct(0.90),
                 "p95_ms": pct(0.95),

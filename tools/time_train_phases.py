@@ -18,16 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if os.environ.get("GRD4D_PLATFORM"):
-    # CPU escape for smoke tests (the axon sitecustomize force-selects
-    # TPU programmatically; the env var alone is not enough — CLAUDE.md)
-    jax.config.update("jax_platforms", os.environ["GRD4D_PLATFORM"])
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+from graph_detr4d_tpu.utils.platform import (
+    apply_platform_override,
+    enable_compile_cache,
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+# CPU escape for smoke tests (the axon sitecustomize force-selects TPU
+# programmatically; the env var alone is not enough — CLAUDE.md)
+apply_platform_override()
+enable_compile_cache()
 
 import jax.numpy as jnp
 import ml_dtypes

@@ -94,10 +94,9 @@ def main():
     from graph_detr4d_tpu.utils.platform import apply_platform_override
 
     apply_platform_override()
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-    )
+    from graph_detr4d_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     import numpy as np
     from graph_detr4d_tpu.config import ModelConfig, tiny_test_config
     from graph_detr4d_tpu.models import GraphDETR4D

@@ -385,6 +385,23 @@ def test_serve_uint8_artifact(uint8_artifact_dir, tmp_path):
             resp = json.load(r)
         assert len(resp["detections"]) == B
 
+        # dtype contract: a float payload against a uint8-ingest artifact
+        # must be REJECTED (a silent cast would wrap normalized pixels
+        # into garbage detections with HTTP 200)
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            images=rng.randn(B, N, H, W, 3).astype(np.float32),
+            lidar2img=np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)),
+        )
+        req = urllib.request.Request(
+            url + "/infer", data=buf.getvalue(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        assert "dtype" in json.load(ei.value)["error"]
+
         # bench client: uint8 payload generation + concurrency pipelining
         rb = subprocess.run(
             [

@@ -568,10 +568,15 @@ def _pin_distill_safe_msda(cfg: ModelConfig) -> ModelConfig:
     instances), while the same program with 'gather4' runs at 1030.2
     ms/step (top_k=32) / 1045.2 ms/step (top_k=64). XLA memory analysis
     rules out OOM — the crashing one-hot build peaks at 3.4 GB HBM vs
-    gather4's 12.6 GB — so this is an execution-level fault specific to
-    the one-hot composition at distill scale. Single-model train/inference
-    programs keep the faster one-hot default; GRD4D_MSDA_IMPL still
-    overrides at the CLI layer for A/B.
+    gather4's 12.6 GB — so this is an execution-level fault, not memory
+    pressure. The shift4 A/B (same date) confirmed the fault is not
+    one-hot-specific: shift4 compiles to the SAME 3.43 GB footprint and
+    ALSO kills the worker inside the distill program, while running fine
+    in single-model programs — gather4 (no folded corner tables, no
+    one-hot levels) is the only distill-safe layout measured.
+    Single-model train/inference programs keep the faster one-hot
+    default; GRD4D_MSDA_IMPL still overrides at the CLI layer for A/B
+    (on non-axon runtimes).
     """
     return dataclasses.replace(
         cfg, head=dataclasses.replace(cfg.head, msda_impl="gather4")

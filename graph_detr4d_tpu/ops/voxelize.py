@@ -40,7 +40,11 @@ def pillar_indices(
     sy = (pc_range[4] - pc_range[1]) / W
     ix = jnp.floor((points[..., 0] - x0) / sx).astype(jnp.int32)
     iy = jnp.floor((points[..., 1] - y0) / sy).astype(jnp.int32)
-    inb = (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W) & (mask > 0)
+    # z bound: the reference's hard voxelizer bound-checks EVERY dim of
+    # point_cloud_range (mmdet3d voxelize kernel) — a pillar grid has one
+    # z layer, so floor((z - z0)/sz) must be exactly 0, i.e. z0 <= z < z1.
+    z_ok = (points[..., 2] >= pc_range[2]) & (points[..., 2] < pc_range[5])
+    inb = (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W) & z_ok & (mask > 0)
     flat = jnp.where(inb, ix * W + iy, H * W)
     return flat, inb
 

@@ -532,6 +532,29 @@ class DistillBundle:
     feat_mode: str = "vanilla"  # 'vanilla' | 'attention'
     reweight_score: bool = False
     mix: bool = False  # MixDistill teacher-query guided decode
+    # Loss weights. None derives from the booleans (cls 1.0, reg 0.25,
+    # feat 1.0); the named reference ablations override them with the
+    # literal values from projects/distill_cfg/*.py (e.g. img_att 1e-3,
+    # img_att_5e3 5e-3, mix img 0.1, reg-only 1.0).
+    cls_weight: Optional[float] = None
+    reg_weight: Optional[float] = None
+    feat_weight: Optional[float] = None
+
+    @property
+    def effective_cls_weight(self) -> float:
+        if self.cls_weight is not None:
+            return self.cls_weight
+        return 1.0 if self.distill_cls else 0.0
+
+    @property
+    def effective_reg_weight(self) -> float:
+        if self.reg_weight is not None:
+            return self.reg_weight
+        return 0.25 if self.distill_reg else 0.0
+
+    @property
+    def effective_feat_weight(self) -> float:
+        return 1.0 if self.feat_weight is None else self.feat_weight
     # TPU-native default: cap soft-GT rows to the top-K teacher queries
     # by max sigmoid score. The reference matches all Qt=900 rows via
     # scipy on CPU (detr4d_distiller.py:143-168); the on-device JV at
@@ -612,37 +635,125 @@ def d_cls():
 
 @register_distill("distill_r50_r18_cls_reg_2subset")
 def d_cls_reg():
-    return _r50_r18()
+    # reference literal: instance_distill loss_cls_weight=1.0,
+    # loss_reg_weight=1.0 (distill_r50_r18_cls_reg_2subset.py:12) — NB
+    # that config dialect passes kwargs Detr4D_Distiller.__init__ does
+    # not accept (it is stale upstream); the weights encode its intent
+    return _r50_r18(reg_weight=1.0)
+
+
+@register_distill("distill_r50_r18_reg_2subset")
+def d_reg():
+    """reg-only instance distill (distill_r50_r18_reg_2subset.py:12:
+    loss_cls_weight=0.0, loss_reg_weight=1.0)."""
+    return _r50_r18(distill_cls=False, reg_weight=1.0)
+
+
+@register_distill("distill_r50_r18_cls_reweight_2subset")
+def d_cls_rw():
+    """cls-only + reweight_score (distill_r50_r18_cls_reweight_2subset.py:
+    loss_reg_distill weight 0.0, loss_cls_distill weight 1.0,
+    reweight_score=True — the reweight only touches the reg term,
+    detr3d_head_pe.py:907-911, so it is inert here; kept for name parity)."""
+    return _r50_r18(distill_reg=False, reweight_score=True)
 
 
 @register_distill("distill_r50_r18_reg_reweight_2subset")
 def d_reg_rw():
+    # loss_reg_distill L1 0.25 + reweight_score=True
+    # (distill_r50_r18_reg_reweight_2subset.py:17-19)
     return _r50_r18(distill_cls=False, reweight_score=True)
 
 
 @register_distill("distill_r50_r18_img_2subset")
 def d_img():
+    # feat_distill loss_weight=1.0 (distill_r50_r18_img_2subset.py:18)
     return _r50_r18(distill_cls=False, distill_reg=False, distill_feat=True)
+
+
+@register_distill("distill_r50_r18_img001_2subset")
+def d_img001():
+    """vanilla feature distill at weight 0.01
+    (distill_r50_r18_img001_2subset_ceph.py:17-18; ceph-path dupe
+    normalized to the disk name)."""
+    return _r50_r18(
+        distill_cls=False,
+        distill_reg=False,
+        distill_feat=True,
+        feat_weight=0.01,
+    )
 
 
 @register_distill("distill_r50_r18_img_att_2subset")
 def d_img_att():
+    # loss_feat_distill type='attention' loss_weight=1e-3
+    # (distill_r50_r18_img_att_2subset.py:19)
     return _r50_r18(
         distill_cls=False,
         distill_reg=False,
         distill_feat=True,
         feat_mode="attention",
+        feat_weight=1e-3,
     )
+
+
+@register_distill("distill_r50_r18_img_att_5e3_2subset")
+def d_img_att_5e3():
+    """attention feature distill at weight 5e-3
+    (distill_r50_r18_img_att_5e3_2subset.py:16)."""
+    return _r50_r18(
+        distill_cls=False,
+        distill_reg=False,
+        distill_feat=True,
+        feat_mode="attention",
+        feat_weight=5e-3,
+    )
+
+
+@register_distill("distill_r50_r18_none_2subset")
+def d_none():
+    """No distill losses at all — the student-baseline control run under
+    the distill runner (distill_r50_r18_none_2subset_ceph.py:
+    instance_distill=None, feat_distill=None => use_teacher=False,
+    detr4d_distiller.py:29-31)."""
+    return _r50_r18(distill_cls=False, distill_reg=False, distill_feat=False)
+
+
+# MixDistill defaults reweight_score=True (mix_distill.py:23) — the
+# named mix bundles that don't say otherwise inherit it; the *_wore
+# ("WithOut REweight") ablations set it False explicitly.
+@register_distill("mixdistill_r50_r18_cls_2subset")
+def md_cls():
+    return _r50_r18(mix=True, distill_reg=False, reweight_score=True)
+
+
+@register_distill("mixdistill_r50_r18_cls_wore_2subset")
+def md_cls_wore():
+    return _r50_r18(mix=True, distill_reg=False, reweight_score=False)
+
+
+@register_distill("mixdistill_r50_r18_reg_2subset")
+def md_reg():
+    return _r50_r18(mix=True, distill_cls=False, reweight_score=True)
+
+
+@register_distill("mixdistill_r50_r18_reg_wore_2subset")
+def md_reg_wore():
+    return _r50_r18(mix=True, distill_cls=False, reweight_score=False)
 
 
 @register_distill("mixdistill_r50_r18_cls_reg_2subset")
 def md_cls_reg():
-    return _r50_r18(mix=True)
+    return _r50_r18(mix=True, reweight_score=True)
 
 
 @register_distill("mixdistill_r50_r18_cls_reg_img")
 def md_cls_reg_img():
-    return _r50_r18(mix=True, distill_feat=True)
+    # loss_feat_distill type='vanilla' loss_weight=0.1
+    # (mixdistill_r50_r18_cls_reg_img_ceph.py:17)
+    return _r50_r18(
+        mix=True, distill_feat=True, feat_weight=0.1, reweight_score=True
+    )
 
 
 @register_distill("detr4d_r50_distill_r50_1x")
@@ -657,9 +768,13 @@ def d_r50_r50():
 
 @register_distill("mixdistill_r50_m2_cls_reg_img")
 def md_m2():
+    # loss_feat_distill type='vanilla' loss_weight=0.1, MixDistill default
+    # reweight_score=True (mixdistill_r50_m2_cls_reg_img_ceph.py:17)
     return DistillBundle(
         teacher=get_config("detr4d_res50_deform_pe_testaug_320_800"),
         student=get_config("detr4d_m2_deform_pe_testaug_320_fullset"),
         mix=True,
         distill_feat=True,
+        feat_weight=0.1,
+        reweight_score=True,
     )

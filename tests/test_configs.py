@@ -30,6 +30,53 @@ def test_all_distill_configs_construct():
         assert b.teacher.head.embed_dims >= b.student.head.embed_dims or True
 
 
+def test_distill_configs_cover_reference_names():
+    """Name-for-name coverage of the reference's distill ablation grid
+    (projects/distill_cfg/*.py): every reference config must resolve to a
+    registered bundle after normalizing the ceph-path dupes (`_ceph`
+    suffix strips to the disk-backend name; files that exist ONLY as
+    `_ceph` are registered under the stripped name)."""
+    import os
+
+    ref_dir = "/root/reference/projects/distill_cfg"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not present")
+    names = set()
+    for f in os.listdir(ref_dir):
+        if not f.endswith(".py"):
+            continue
+        n = f[: -len(".py")]
+        if n.endswith("_ceph"):
+            n = n[: -len("_ceph")]
+        names.add(n)
+    registered = set(list_distill_configs())
+    missing = sorted(names - registered)
+    assert not missing, f"unregistered reference distill configs: {missing}"
+
+
+def test_distill_ablation_weights_match_reference_literals():
+    """The named ablations carry the reference's literal loss weights."""
+    b = get_distill_config("distill_r50_r18_reg_2subset")
+    assert b.effective_cls_weight == 0.0 and b.effective_reg_weight == 1.0
+    b = get_distill_config("distill_r50_r18_img_att_5e3_2subset")
+    assert b.feat_mode == "attention" and b.effective_feat_weight == 5e-3
+    b = get_distill_config("distill_r50_r18_img_att_2subset")
+    assert b.effective_feat_weight == 1e-3
+    b = get_distill_config("distill_r50_r18_img001_2subset")
+    assert b.feat_mode == "vanilla" and b.effective_feat_weight == 0.01
+    b = get_distill_config("distill_r50_r18_none_2subset")
+    assert not (b.distill_cls or b.distill_reg or b.distill_feat)
+    # MixDistill default reweight_score=True (mix_distill.py:23); _wore off
+    b = get_distill_config("mixdistill_r50_r18_cls_reg_2subset")
+    assert b.reweight_score is True
+    b = get_distill_config("mixdistill_r50_r18_reg_wore_2subset")
+    assert b.reweight_score is False and b.effective_reg_weight == 0.25
+    b = get_distill_config("mixdistill_r50_r18_cls_wore_2subset")
+    assert b.reweight_score is False and b.effective_cls_weight == 1.0
+    b = get_distill_config("mixdistill_r50_r18_cls_reg_img")
+    assert b.effective_feat_weight == 0.1
+
+
 def test_distill_configs_pin_safe_msda():
     """Every distill bundle must pin both models to the pure-gather MSDA
     layout: the one-hot small-level path kernel-faults the TPU worker

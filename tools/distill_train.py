@@ -86,9 +86,10 @@ def main():
 
     dcfg = DistillConfig(
         use_instance_distill=bundle.distill_cls or bundle.distill_reg,
-        cls_distill_weight=1.0 if bundle.distill_cls else 0.0,
-        reg_distill_weight=0.25 if bundle.distill_reg else 0.0,
+        cls_distill_weight=bundle.effective_cls_weight,
+        reg_distill_weight=bundle.effective_reg_weight,
         use_feat_distill=bundle.distill_feat,
+        feat_distill_weight=bundle.effective_feat_weight,
         feat_distill_kind=bundle.feat_mode,
         reweight_score=bundle.reweight_score,
         mix=bundle.mix,

@@ -19,3 +19,51 @@ import jax  # noqa: E402
 # overriding the env var — force CPU again at the config level
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# ---- suite tiers -----------------------------------------------------
+# The full suite is ~50 min on the 1-core CI host; iteration runs the
+# smoke tier. Lanes (documented in CLAUDE.md):
+#   -m smoke                  fast unit/behavior tests (~minutes)
+#   -m golden                 torch-oracle golden suites
+#   -m slow                   multi-minute e2e/CLI/train suites
+# Marking is automatic by module: test_golden_* => golden; the measured
+# multi-minute modules => slow; everything else => smoke.
+
+_SLOW_MODULES = {
+    # measured >60 s/module on the 1-core host (pytest --durations, r5)
+    "test_configs",
+    "test_convert",
+    "test_distill",
+    "test_export",
+    "test_models",
+    "test_overfit",
+    "test_parallel_cam",
+    "test_pipeline",
+    "test_serve",
+    "test_tools",
+    "test_train",
+    "test_variants",
+}
+
+
+def pytest_configure(config):
+    for name, desc in (
+        ("smoke", "fast unit/behavior tests (default iteration lane)"),
+        ("golden", "torch-oracle golden-activation suites"),
+        ("slow", "multi-minute e2e/CLI/train suites"),
+    ):
+        config.addinivalue_line("markers", f"{name}: {desc}")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod.startswith("test_golden"):
+            item.add_marker(pytest.mark.golden)
+        elif mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.smoke)

@@ -614,3 +614,41 @@ def test_cli_chain_distill_train_to_distill_test(tmp_path):
     assert r2.returncode == 0, (r2.stdout[-1500:], r2.stderr[-1500:])
     assert "loaded student weights from" in r2.stdout, r2.stdout[-1500:]
     assert "mAP" in r2.stdout
+
+
+def test_distill_split_teacher_matches_inline():
+    """--split-teacher runs the frozen teacher as its own executable;
+    the step-1 losses must match the inline double-program (the teacher
+    outputs are stop-gradient constants, so the split is mathematically
+    identity — this locks that invariant through the CLI seam)."""
+    import json as _json
+    import subprocess
+
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+
+    def run(split, wd):
+        cmd = [
+            sys.executable, _tools("distill_train.py"),
+            "--tiny", "--synthetic",
+            "--steps", "1",
+            "--seed", "3",
+            "--work-dir", wd,
+        ]
+        if split:
+            cmd.append("--split-teacher")
+        r = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=560
+        )
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+        with open(os.path.join(wd, "distill_log.jsonl")) as f:
+            return _json.loads(f.readline())
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        inline = run(False, os.path.join(td, "inline"))
+        split = run(True, os.path.join(td, "split"))
+    for k in ("loss", "distill_loss_cls", "distill_loss_reg"):
+        assert abs(inline[k] - split[k]) <= 1e-3 * (1 + abs(inline[k])), (
+            k, inline[k], split[k],
+        )

@@ -41,6 +41,23 @@ def parse_args():
         "20.4s -> 0.5s/step on chip); 0 = all rows (exact reference "
         "parity, slow on device)",
     )
+    p.add_argument(
+        "--split-teacher",
+        action="store_true",
+        help="run the frozen teacher forward as its OWN executable "
+        "instead of inlining it into the student train program "
+        "(mathematically identical — teacher outputs are stop-gradient "
+        "constants). Halves the per-program size; each half is a "
+        "single-model program, the class the msda corner-table layouts "
+        "are measured safe in (PROFILE.md round 4)",
+    )
+    p.add_argument(
+        "--teacher-msda",
+        default=None,
+        help="with --split-teacher: override the teacher program's "
+        "msda_impl (e.g. shift4h), lifting the bundle's gather4 distill "
+        "pin for the teacher half only",
+    )
     return p.parse_args()
 
 
@@ -83,6 +100,12 @@ def main():
     # GRD4D_MSDA_IMPL can lift the bundle's gather4 safety pin for A/B)
     t_cfg = apply_env_kernel_overrides(t_cfg)
     s_cfg = apply_env_kernel_overrides(s_cfg)
+    if args.teacher_msda:
+        assert args.split_teacher, "--teacher-msda requires --split-teacher"
+        t_cfg = dataclasses.replace(
+            t_cfg,
+            head=dataclasses.replace(t_cfg.head, msda_impl=args.teacher_msda),
+        )
 
     dcfg = DistillConfig(
         use_instance_distill=bundle.distill_cls or bundle.distill_reg,
@@ -131,10 +154,7 @@ def main():
     tx = build_optimizer(s_cfg.train)
     opt_state = tx.init(dvars["params"])
 
-    @jax.jit
-    def train_step(params, opt_state, batch, rng):
-        imgs = batch["images"]
-        l2i = batch["lidar2img"]
+    def _teacher_fwd_body(imgs, l2i):
         # one teacher backbone pass: extract once, head on the features
         # (a second full teacher.apply would re-run the conv stack —
         # XLA does not reliably CSE it across the remat'd scopes, which
@@ -147,13 +167,15 @@ def main():
         t_outs = teacher.apply(
             tvars, t_feats, l2i, method=GraphDETR4D.forward_feats
         )
+        return t_feats, t_outs
 
+    def _student_train_body(params, opt_state, batch, t_feats, t_outs, rng):
         def loss_fn(p):
             variables = {**dvars, "params": p}
             s_outs, adapted = dist.apply(
                 variables,
-                imgs,
-                l2i,
+                batch["images"],
+                batch["lidar2img"],
                 train=True,
                 rng=rng,
                 teacher_query_embed=t_qe,
@@ -177,6 +199,28 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
+
+    if args.split_teacher:
+        teacher_forward = jax.jit(_teacher_fwd_body)
+        student_train = jax.jit(_student_train_body)
+
+        def train_step(params, opt_state, batch, rng):
+            t_feats, t_outs = teacher_forward(
+                batch["images"], batch["lidar2img"]
+            )
+            return student_train(
+                params, opt_state, batch, t_feats, t_outs, rng
+            )
+    else:
+
+        @jax.jit
+        def train_step(params, opt_state, batch, rng):
+            t_feats, t_outs = _teacher_fwd_body(
+                batch["images"], batch["lidar2img"]
+            )
+            return _student_train_body(
+                params, opt_state, batch, t_feats, t_outs, rng
+            )
 
     os.makedirs(args.work_dir, exist_ok=True)
     log_path = os.path.join(args.work_dir, "distill_log.jsonl")

@@ -28,6 +28,25 @@ def parse_args():
     p.add_argument("--distill-config", default="mixdistill_r50_r18_cls_reg_2subset")
     p.add_argument("--distill", action="store_true")
     p.add_argument("--teacher-top-k", type=int, default=None)
+    p.add_argument(
+        "--split-teacher",
+        action="store_true",
+        help="run the frozen teacher forward as its OWN executable "
+        "instead of inlining it into the student train program. "
+        "Mathematically identical (teacher outputs are stop-gradient "
+        "constants); halves the per-program size, and each half is a "
+        "single-model program — the class the msda corner-table layouts "
+        "are measured safe in (the worker fault needs the double "
+        "program, PROFILE.md round 4)",
+    )
+    p.add_argument(
+        "--teacher-msda",
+        default=None,
+        help="with --split-teacher: override the teacher program's "
+        "msda_impl (e.g. shift4h) — lifts the bundle's gather4 distill "
+        "pin for the teacher half only, which runs as a single-model "
+        "program",
+    )
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument(
@@ -77,11 +96,22 @@ def main():
         # the same A/B instrument the flagship branch has
         t_cfg = apply_env_kernel_overrides(bundle.teacher)
         s_cfg = apply_env_kernel_overrides(bundle.student)
+        if args.teacher_msda:
+            import dataclasses
+
+            assert args.split_teacher, "--teacher-msda requires --split-teacher"
+            t_cfg = dataclasses.replace(
+                t_cfg,
+                head=dataclasses.replace(
+                    t_cfg.head, msda_impl=args.teacher_msda
+                ),
+            )
         dcfg = DistillConfig(
             use_instance_distill=bundle.distill_cls or bundle.distill_reg,
-            cls_distill_weight=1.0 if bundle.distill_cls else 0.0,
-            reg_distill_weight=0.25 if bundle.distill_reg else 0.0,
+            cls_distill_weight=bundle.effective_cls_weight,
+            reg_distill_weight=bundle.effective_reg_weight,
             use_feat_distill=bundle.distill_feat,
+            feat_distill_weight=bundle.effective_feat_weight,
             feat_distill_kind=bundle.feat_mode,
             reweight_score=bundle.reweight_score,
             mix=bundle.mix,
@@ -107,20 +137,21 @@ def main():
         opt_state = tx.init(dvars["params"])
         rng = jax.random.PRNGKey(7)
 
-        @jax.jit
-        def step(params, opt_state):
+        def _teacher_fwd_body(images):
             # one teacher backbone pass (same structure as
             # tools/distill_train.py): extract once, head on the
             # features — a second full apply doubles the teacher's live
             # activations when XLA misses the CSE across remat scopes
             t_feats = teacher.apply(
-                tvars, imgs, False, None, method=GraphDETR4D.extract_feats
+                tvars, images, False, None, method=GraphDETR4D.extract_feats
             )
             t_feats = [jax.lax.stop_gradient(f) for f in t_feats]
             t_outs = teacher.apply(
                 tvars, t_feats, l2i, method=GraphDETR4D.forward_feats
             )
+            return t_feats, t_outs
 
+        def _student_loss_grads(params, opt_state, t_feats, t_outs):
             def loss_fn(p):
                 variables = {**dvars, "params": p}
                 s_outs, adapted = dist.apply(
@@ -151,10 +182,50 @@ def main():
             return optax.apply_updates(params, updates), opt_state, loss
 
         params = dvars["params"]
-        tag = f"distill[{args.distill_config}] top_k={args.teacher_top_k}"
+        split = " split" if args.split_teacher else ""
+        tmsda = f" tmsda={args.teacher_msda}" if args.teacher_msda else ""
+        tag = (
+            f"distill[{args.distill_config}] top_k={args.teacher_top_k}"
+            f"{split}{tmsda}"
+        )
 
-        def lower_step():
-            return step.lower(params, opt_state)
+        if args.split_teacher:
+            # two executables per step: teacher inference, then student
+            # train. The chain carry feeds the teacher's input so the
+            # timed loop serializes both dispatches per iteration.
+            teacher_fwd = jax.jit(
+                lambda carry: _teacher_fwd_body(imgs + carry * 1e-12)
+            )
+            student_step = jax.jit(_student_loss_grads)
+            _carry = {"v": jnp.float32(0.0)}
+
+            def step(params, opt_state):
+                t_feats, t_outs = teacher_fwd(_carry["v"])
+                params, opt_state, loss = student_step(
+                    params, opt_state, t_feats, t_outs
+                )
+                _carry["v"] = loss
+                return params, opt_state, loss
+
+            def lower_step():
+                # memory analysis of the STUDENT program (the big half);
+                # the teacher program's analysis prints separately below
+                t_shapes = jax.eval_shape(teacher_fwd, jnp.float32(0.0))
+                return student_step.lower(params, opt_state, *t_shapes)
+
+            def lower_teacher():
+                return teacher_fwd.lower(jnp.float32(0.0))
+        else:
+
+            @jax.jit
+            def step(params, opt_state):
+                t_feats, t_outs = _teacher_fwd_body(imgs)
+                return _student_loss_grads(params, opt_state, t_feats, t_outs)
+
+            def lower_step():
+                return step.lower(params, opt_state)
+
+            lower_teacher = None
     else:
         from graph_detr4d_tpu.parallel.step import build_train_step, init_state
 
@@ -184,26 +255,33 @@ def main():
         def lower_step():
             return train_step.lower(tstate, batch, rng)
 
+        lower_teacher = None
+
     if args.memory_analysis:
-        compiled = lower_step().compile()
-        ma = compiled.memory_analysis()
-        out = {"what": f"memory[{tag}]"}
-        for k in (
-            "temp_size_in_bytes",
-            "argument_size_in_bytes",
-            "output_size_in_bytes",
-            "alias_size_in_bytes",
-            "generated_code_size_in_bytes",
-        ):
-            v = getattr(ma, k, None)
-            if v is not None:
-                out[k.replace("_in_bytes", "_gb")] = round(v / 2**30, 3)
-        # peak live = args + temps (outputs alias args where donated)
-        if "temp_size_gb" in out and "argument_size_gb" in out:
-            out["peak_gb_approx"] = round(
-                out["temp_size_gb"] + out["argument_size_gb"], 3
-            )
-        print(json.dumps(out), flush=True)
+
+        def report(lowered, what):
+            ma = lowered.compile().memory_analysis()
+            out = {"what": f"memory[{what}]"}
+            for k in (
+                "temp_size_in_bytes",
+                "argument_size_in_bytes",
+                "output_size_in_bytes",
+                "alias_size_in_bytes",
+                "generated_code_size_in_bytes",
+            ):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    out[k.replace("_in_bytes", "_gb")] = round(v / 2**30, 3)
+            # peak live = args + temps (outputs alias args where donated)
+            if "temp_size_gb" in out and "argument_size_gb" in out:
+                out["peak_gb_approx"] = round(
+                    out["temp_size_gb"] + out["argument_size_gb"], 3
+                )
+            print(json.dumps(out), flush=True)
+
+        report(lower_step(), tag)
+        if lower_teacher is not None:
+            report(lower_teacher(), f"{tag} :: teacher program")
         return
 
     # compile + warm: 2 steps, force with host fetch of the loss

@@ -58,6 +58,16 @@ def parse_args():
         "msda_impl (e.g. shift4h), lifting the bundle's gather4 distill "
         "pin for the teacher half only",
     )
+    p.add_argument(
+        "--data-parallel",
+        type=int,
+        default=0,
+        help="shard the distill batch over N devices (1-D data mesh, "
+        "params/teacher replicated, GSPMD gradient all-reduce) — the "
+        "TPU-native equivalent of the reference distill runner's DDP "
+        "wrap (apis/mmdet_distill_train.py:74-82). 0 = single device. "
+        "--batch-size defaults to N and must be a multiple of it.",
+    )
     return p.parse_args()
 
 
@@ -200,9 +210,64 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    mesh = None
+    if args.data_parallel and args.data_parallel > 1:
+        from graph_detr4d_tpu.parallel import make_mesh, replicate
+        from graph_detr4d_tpu.parallel.mesh import (
+            batch_sharding,
+            replicated_sharding,
+        )
+
+        devices = jax.devices()[: args.data_parallel]
+        assert len(devices) == args.data_parallel, (
+            f"--data-parallel {args.data_parallel} but only "
+            f"{len(devices)} devices visible"
+        )
+        mesh = make_mesh(devices)
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        # replicate the trainable state and the frozen teacher; the
+        # per-step batch is sharded on 'data' in the loop below
+        tvars = replicate(tvars, mesh)
+        dvars = replicate(dvars, mesh)
+        opt_state = replicate(opt_state, mesh)
+        if t_qe is not None:
+            t_qe = jax.device_put(t_qe, repl)
+
+    def _jit(fn, **shardings):
+        if mesh is None:
+            return jax.jit(fn)
+        jitted = jax.jit(fn, **shardings)
+
+        def wrapped(*a, **k):
+            with jax.set_mesh(mesh):
+                return jitted(*a, **k)
+
+        return wrapped
+
+    if mesh is not None:
+        # pjit shardings: GLOBAL-shape semantics, so the loss means and
+        # the grad reduction are global automatically (GSPMD inserts the
+        # all-reduce the reference gets from DDP+reduce_mean)
+        _sh_inline = dict(
+            in_shardings=(repl, repl, data, repl),
+            out_shardings=(repl, repl, repl),
+        )
+        # teacher outputs: feats are batch-leading (shardable on 'data')
+        # but head outputs are LAYER-leading (L, B, Q, ...) — leave their
+        # shardings to the compiler (None = committed/inferred) rather
+        # than forcing axis-0 'data' onto the layer axis
+        _sh_teacher = dict(in_shardings=(data, data))
+        _sh_student = dict(
+            in_shardings=(repl, repl, data, None, None, repl),
+            out_shardings=(repl, repl, repl),
+        )
+    else:
+        _sh_inline = _sh_teacher = _sh_student = {}
+
     if args.split_teacher:
-        teacher_forward = jax.jit(_teacher_fwd_body)
-        student_train = jax.jit(_student_train_body)
+        teacher_forward = _jit(_teacher_fwd_body, **_sh_teacher)
+        student_train = _jit(_student_train_body, **_sh_student)
 
         def train_step(params, opt_state, batch, rng):
             t_feats, t_outs = teacher_forward(
@@ -213,14 +278,15 @@ def main():
             )
     else:
 
-        @jax.jit
-        def train_step(params, opt_state, batch, rng):
+        def _inline_step(params, opt_state, batch, rng):
             t_feats, t_outs = _teacher_fwd_body(
                 batch["images"], batch["lidar2img"]
             )
             return _student_train_body(
                 params, opt_state, batch, t_feats, t_outs, rng
             )
+
+        train_step = _jit(_inline_step, **_sh_inline)
 
     os.makedirs(args.work_dir, exist_ok=True)
     log_path = os.path.join(args.work_dir, "distill_log.jsonl")
@@ -230,11 +296,14 @@ def main():
     params = dvars["params"]
     rng = jax.random.PRNGKey(args.seed + 2)
     t0 = time.time()
+    default_bs = args.data_parallel if args.data_parallel > 1 else 1
+    if args.data_parallel > 1 and (args.batch_size or default_bs) % args.data_parallel:
+        raise SystemExit("--batch-size must be a multiple of --data-parallel")
     for step in range(args.steps):
         batch = {
             k: jnp.asarray(v)
             for k, v in synthetic_batch(
-                t_cfg, batch_size=args.batch_size or 1, seed=step
+                t_cfg, batch_size=args.batch_size or default_bs, seed=step
             ).items()
         }
         rng, sub = jax.random.split(rng)

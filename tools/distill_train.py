@@ -47,9 +47,12 @@ def parse_args():
         help="run the frozen teacher forward as its OWN executable "
         "instead of inlining it into the student train program "
         "(mathematically identical — teacher outputs are stop-gradient "
-        "constants). Halves the per-program size; each half is a "
-        "single-model program, the class the msda corner-table layouts "
-        "are measured safe in (PROFILE.md round 4)",
+        "constants; CPU losses match digit-for-digit). Halves the "
+        "per-program size. NOTE: on the axon TPU runtime the "
+        "two-executable handoff itself crashes the worker even with "
+        "gather4 and both programs fitting HBM (PROFILE.md round 5) — "
+        "use the default inline mode there; split is for other "
+        "runtimes",
     )
     p.add_argument(
         "--teacher-msda",

@@ -34,10 +34,12 @@ def parse_args():
         help="run the frozen teacher forward as its OWN executable "
         "instead of inlining it into the student train program. "
         "Mathematically identical (teacher outputs are stop-gradient "
-        "constants); halves the per-program size, and each half is a "
-        "single-model program — the class the msda corner-table layouts "
-        "are measured safe in (the worker fault needs the double "
-        "program, PROFILE.md round 4)",
+        "constants); halves the per-program size. NOTE: on the axon "
+        "TPU runtime the two-executable handoff itself crashes the "
+        "worker even with gather4 and both halves fitting HBM "
+        "(student 13.34 GB / teacher 0.84 GB, PROFILE.md round 5) "
+        "while the inline gather4 control runs at 1051 ms/step — "
+        "split is for other runtimes",
     )
     p.add_argument(
         "--teacher-msda",

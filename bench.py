@@ -166,8 +166,12 @@ def main():
 
         @jax.jit
         def step(variables, images, lidar2img, carry):
+            # chain through the 16-float lidar2img, not the 73 MB image
+            # tensor: the dependency serializes steps identically but the
+            # perturbation add costs nothing instead of a full extra
+            # HBM read+write of the input
             out = model.apply(
-                variables, images + carry * 1e-12, lidar2img
+                variables, images, lidar2img + carry * 1e-12
             )
             det = decode_batch(
                 out,
@@ -296,9 +300,13 @@ def main():
 
                 @jax.jit
                 def sstep(variables, images, lidar2img, prev_feats, carry):
+                    # same cheap chain as timed_fps: the carry input
+                    # serializes program dispatch (in-order device stream),
+                    # consumed via the 16-float lidar2img rather than an
+                    # extra full pass over the image tensor
                     cur = model12.apply(
                         variables,
-                        images + carry * 1e-12,
+                        images,
                         False,
                         None,
                         method=_G.extract_feats,
@@ -308,7 +316,10 @@ def main():
                         for c, p in zip(cur, prev_feats)
                     ]
                     out = model12.apply(
-                        variables, feats, lidar2img, method=_G.forward_feats
+                        variables,
+                        feats,
+                        lidar2img + carry * 1e-12,
+                        method=_G.forward_feats,
                     )
                     det = decode_batch(
                         out,

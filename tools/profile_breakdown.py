@@ -56,6 +56,14 @@ def build(H, W, N, use_dcn=True, cam_capacity=0.5, batch_size=1,
         img_size=(H, W),
         bf16=True,
     )
+    # CLI-layer kernel-variant knobs (GRD4D_DCN_GATHER / GRD4D_MSDA_IMPL
+    # / GRD4D_MSDA_LATEPROJ) must steer the profiled program exactly as
+    # they steer bench.py — without this the env A/B silently profiles
+    # the default variant (round-5 finding: an "int8 trace" reproduced
+    # the default trace to 0.01 ms because the knob never applied)
+    from graph_detr4d_tpu.configs import apply_env_kernel_overrides
+
+    cfg = apply_env_kernel_overrides(cfg)
     model = GraphDETR4D(cfg)
     batch = synthetic_batch(cfg, batch_size=batch_size)
     imgs = jnp.asarray(batch["images"])

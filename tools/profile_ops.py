@@ -113,6 +113,12 @@ def main():
     aggs = {}
     for b in args.b:
         out = f"/tmp/optrace_b{b}"
+        # a stale trace from a previous (possibly different-variant) run
+        # in the same dir would be silently re-parsed — clear it
+        if os.path.isdir(out):
+            import shutil
+
+            shutil.rmtree(out)
         os.makedirs(out, exist_ok=True)
         trace_forward(b, out)
         aggs[b] = parse_xplane(out)
@@ -123,6 +129,13 @@ def main():
             buckets[bucket(n)] = buckets.get(bucket(n), 0.0) + us
         for k, us in sorted(buckets.items(), key=lambda kv: -kv[1]):
             print(f"  {k:14s} {us/3e3:7.2f} ms/step")
+        # per-op top list (also for single-b runs — variant A/Bs diff
+        # these against each other)
+        print(f"  -- top {args.top} ops --")
+        for n, us in sorted(aggs[b].items(), key=lambda kv: -kv[1])[
+            : args.top
+        ]:
+            print(f"  {us/3e3:7.3f} ms/step  {n[:140]}")
 
     if len(args.b) == 2:
         b0, b1 = args.b

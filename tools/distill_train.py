@@ -300,20 +300,40 @@ def main():
     rng = jax.random.PRNGKey(args.seed + 2)
     t0 = time.time()
     default_bs = args.data_parallel if args.data_parallel > 1 else 1
-    if args.data_parallel > 1 and (args.batch_size or default_bs) % args.data_parallel:
+    bs = args.batch_size or default_bs
+    if args.data_parallel > 1 and bs % args.data_parallel:
         raise SystemExit("--batch-size must be a multiple of --data-parallel")
+    # multi-host (launch_multihost.py distill_train): each process feeds
+    # its LOCAL shard of the global batch; shard_batch assembles the
+    # global array (make_array_from_process_local_data) — same
+    # single-controller recipe as tools/train.py
+    rank, world = jax.process_index(), jax.process_count()
+    if world > 1:
+        assert mesh is not None, (
+            "multi-process distill requires --data-parallel (the mesh "
+            "spans all global devices)"
+        )
+        assert bs % world == 0, (bs, world)
+    local_bs = bs // world
     for step in range(args.steps):
-        batch = {
-            k: jnp.asarray(v)
-            for k, v in synthetic_batch(
-                t_cfg, batch_size=args.batch_size or default_bs, seed=step
-            ).items()
-        }
+        local = synthetic_batch(
+            t_cfg, batch_size=local_bs, seed=step + rank * 100003
+        )
+        if mesh is not None:
+            from graph_detr4d_tpu.parallel import shard_batch
+
+            batch = shard_batch(
+                {k: np.asarray(v) for k, v in local.items()}, mesh
+            )
+        else:
+            batch = {k: jnp.asarray(v) for k, v in local.items()}
         rng, sub = jax.random.split(rng)
         params, opt_state, metrics = train_step(
             params, opt_state, batch, sub
         )
-        if (step + 1) % args.log_interval == 0 or step == 0:
+        if ((step + 1) % args.log_interval == 0 or step == 0) and rank == 0:
+            # logging is rank-0-gated (the fetch of replicated metric
+            # scalars is fine on every rank; the files are shared)
             rec = {"step": step + 1}
             rec.update({k: float(v) for k, v in metrics.items()})
             rec["iter_time"] = (time.time() - t0) / (step + 1)
@@ -322,11 +342,14 @@ def main():
             print(rec)
     # save the bare student subtree so tools/test.py / distill_test.py can
     # load it into a plain GraphDETR4D (the lateral adapters are
-    # distillation-only, mmdet_distill_train.py:88-92)
+    # distillation-only, mmdet_distill_train.py:88-92). Orbax saves are
+    # COLLECTIVE — every rank must call save (rank-0-gating deadlocks the
+    # shutdown barrier, CLAUDE.md multihost notes)
     ckpt.save_weights(
         args.steps, jax.tree.map(np.asarray, params["student"])
     )
-    print(f"saved student to {args.work_dir}/checkpoints")
+    if rank == 0:
+        print(f"saved student to {args.work_dir}/checkpoints")
 
 
 if __name__ == "__main__":

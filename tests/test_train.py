@@ -244,3 +244,41 @@ def test_train_step_with_camaware_and_timestamp_batch_keys():
     assert "depth_net" in state.params["head"] or any(
         "depth" in k for k in state.params["head"]
     ), list(state.params["head"].keys())
+
+
+def test_o0_compile_matches_default_compile():
+    """The multichip dryrun executes the flagship at XLA backend
+    optimization level 0 (__graft_entry__.py run_kernel_mix): O0 must be
+    an optimization-effort knob only — same train-step results as the
+    default compile from identical state/batch."""
+    model = GraphDETR4D(CFG)
+    mesh = make_mesh(jax.devices()[:2])
+    state = replicate(init_state(model, CFG, jax.random.PRNGKey(0)), mesh)
+    step_fn = build_train_step(model, CFG, mesh)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(CFG, batch_size=2, num_gt=4).items()
+    }
+    batch = shard_batch(batch, mesh)
+    rng = jax.device_put(
+        jax.random.PRNGKey(1),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    lowered = step_fn.lower(state, batch, rng)
+    default_exec = lowered.compile()
+    o0_exec = lowered.compile(
+        compiler_options={"xla_backend_optimization_level": "0"}
+    )
+    _, m_def = default_exec(state, batch, rng)
+    # the train step donates its state buffers — rebuild an identical
+    # state (same PRNG) for the second executable
+    state2 = replicate(init_state(model, CFG, jax.random.PRNGKey(0)), mesh)
+    _, m_o0 = o0_exec(state2, batch, rng)
+    # identical program semantics; fp arithmetic may be reassociated by
+    # the optimizer, so compare to tight-but-not-bitwise tolerance
+    np.testing.assert_allclose(
+        float(m_o0["loss"]), float(m_def["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_o0["grad_norm"]), float(m_def["grad_norm"]), rtol=1e-4
+    )

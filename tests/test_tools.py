@@ -689,3 +689,53 @@ def test_distill_data_parallel_cli(tmp_path):
     assert math.isfinite(rec["loss"]), rec
     ckpt = os.path.join(wd, "checkpoints")
     assert os.path.isdir(ckpt) and os.listdir(ckpt), ckpt
+
+
+def test_misc_cli_smokes(tmp_path):
+    """The small analysis CLIs run end-to-end: print_config --list and
+    --config, get_flops --tiny (XLA cost analysis), analyze_logs
+    cal_train_time on a synthetic train_log.jsonl (reference:
+    tools/misc/print_config.py, tools/analysis_tools/get_flops.py,
+    analyze_logs.py cal_train_time)."""
+    import json as _json
+    import subprocess
+
+    env = dict(os.environ, GRD4D_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+
+    r = subprocess.run(
+        [sys.executable, _tools("misc/print_config.py"), "--list"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0 and "detr4d_res50_deform_pe_testaug_2subset_12e" in r.stdout
+
+    r = subprocess.run(
+        [
+            sys.executable, _tools("misc/print_config.py"),
+            "--config", "detr3d_res50",
+            "--cfg-options", "head.num_query=60",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0 and '"num_query":60' in r.stdout.replace(
+        " ", ""
+    )
+
+    r = subprocess.run(
+        [sys.executable, _tools("get_flops.py"), "--tiny"],
+        env=env, capture_output=True, text=True, timeout=500,
+    )
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-800:])
+    assert "flops" in r.stdout.lower()
+
+    log = tmp_path / "train_log.jsonl"
+    with open(log, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"step": i, "loss": 3.0 - i * 0.1,
+                                 "iter_time": 0.5 + 0.01 * i}) + "\n")
+    r = subprocess.run(
+        [sys.executable, _tools("analyze_logs.py"), "cal_train_time",
+         str(log)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-800:])
+    assert "iter" in r.stdout.lower()

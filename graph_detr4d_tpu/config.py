@@ -53,6 +53,11 @@ class BackboneConfig:
     # use the exact one-hot MXU path regardless. CLI env override:
     # GRD4D_DCN_GATHER (configs.apply_env_kernel_overrides).
     dcn_gather: str = "shift4"
+    # stem 7x7/2 conv computed via 2x2 space-to-depth + a 4x4 conv on 12
+    # channels (exact kernel rearrangement, models/resnet.py
+    # StemConvS2D). Same param tree as the plain conv, so checkpoints
+    # and goldens are layout-identical. CLI env override: GRD4D_STEM_S2D.
+    stem_s2d: bool = False
 
 
 @dataclass(frozen=True)

@@ -148,6 +148,10 @@ def apply_env_kernel_overrides(cfg):
                 "(1/0/true/false/yes/no/on/off)"
             )
         ovs.append("head.msda_late_proj=" + ("true" if truthy else "false"))
+    v = os.environ.get("GRD4D_STEM_S2D")
+    if v:
+        truthy = v.strip().lower() in ("1", "true", "yes", "on")
+        ovs.append("backbone.stem_s2d=" + ("true" if truthy else "false"))
     return apply_overrides(cfg, ovs) if ovs else cfg
 
 

@@ -52,6 +52,7 @@ class GraphDETR4D(nn.Module):
                 use_dcn=self.cfg.backbone.use_dcn,
                 dcn_gather=self.cfg.backbone.dcn_gather,
                 remat=self.cfg.backbone.remat,
+                stem_s2d=self.cfg.backbone.stem_s2d,
                 dtype=dtype,
             )
         if self.cfg.neck.num_outs == 0:

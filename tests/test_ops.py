@@ -463,3 +463,30 @@ def test_dcn_int8_gather_close_and_ste_grad(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
         )
+
+
+def test_stem_s2d_matches_plain_conv():
+    """BackboneConfig.stem_s2d: the space-to-depth stem (4x4 conv over
+    the 2x2-s2d input with the rearranged kernel) is an EXACT rewrite of
+    the 7x7/2/pad-3 stem conv, sharing the same (7,7,3,64) param
+    (models/resnet.py StemConvS2D). Measured SLOWER on the axon chip
+    (9.13 vs 9.83 fps, PROFILE.md round 5) so it stays default-off; this
+    lock keeps the knob correct for hardware where it wins."""
+    import flax.linen as nn
+
+    from graph_detr4d_tpu.models.resnet import StemConvS2D
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 48, 80, 3).astype(np.float32))
+    ref = nn.Conv(
+        64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+        name="stem_conv",
+    )
+    vs = ref.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(ref.apply(vs, x))
+    got = np.asarray(
+        StemConvS2D().apply(
+            {"params": {"kernel": vs["params"]["kernel"]}}, x
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -82,6 +82,7 @@ def test_export_cli_and_run(tmp_path):
         "dcn_gather": "shift4",
         "msda_impl": "shift4h",
         "msda_late_proj": False,
+        "stem_s2d": False,
     }
 
     r2 = subprocess.run(

@@ -282,6 +282,7 @@ def main():
             "dcn_gather": cfg.backbone.dcn_gather,
             "msda_impl": cfg.head.msda_impl,
             "msda_late_proj": cfg.head.msda_late_proj,
+            "stem_s2d": cfg.backbone.stem_s2d,
         },
         "inputs": {
             "images": [list(imgs.shape), str(imgs.dtype)],
